@@ -1,0 +1,70 @@
+"""Facade: wire the pages table + replay driver together (§3 lifecycle).
+
+``CdcEngine`` is the analog of the reference's ``SourceTask`` start/poll
+lifecycle (``SourceTask.kt:20-150``): restore offset -> choose snapshot vs
+CDC -> run. Here: create-or-open the SnapshotTable, optionally load the
+initial snapshot (T4), then replay the change log in commit-SCN microbatches
+(resumable — rerunning after a crash skips applied batches).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from logminer_kafka_connect_spark.plans.lakehouse import SnapshotTable
+from logminer_kafka_connect_spark.plans.lineage import LineageLog
+from logminer_kafka_connect_spark.sources.snapshot import load_snapshot
+from logminer_kafka_connect_spark.streaming.driver import ReplayDriver, ReplayStats
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+DEFAULT_SELECTORS = [("CRAWL", "PAGES")]
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        selectors=None,
+        n_buckets: int = 32,
+        schema: T.StructType = PAGES_SCHEMA,
+        key_col: str = "url",
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        table_path = os.path.join(workdir, "pages_table")
+        self.table = SnapshotTable(table_path)
+        if not self.table.exists():
+            self.table = SnapshotTable.create(table_path, schema, [key_col], n_buckets=n_buckets)
+        self.lineage = LineageLog(os.path.join(workdir, "lineage"))
+        self.driver = ReplayDriver(
+            spark,
+            self.table,
+            self.lineage,
+            selectors or DEFAULT_SELECTORS,
+            key_col=key_col,
+        )
+
+    def load_snapshot(self, source: DataFrame, snapshot_scn: int) -> dict:
+        return load_snapshot(self.table, source, snapshot_scn)
+
+    def replay(self, events: DataFrame, n_batches: int = 8, start_scn: int | None = None) -> ReplayStats:
+        return self.driver.replay(events, n_batches=n_batches, start_scn=start_scn)
+
+    def run_streaming(self, events_path: str, checkpoint_dir: str, **kw):
+        return self.driver.run_streaming(events_path, checkpoint_dir, **kw)
+
+    def state(self) -> DataFrame:
+        return self.table.read(self.spark)

@@ -1,0 +1,260 @@
+"""Vectorized redo-SQL parsing (P2/P3 + C6/C7) — the per-row hot path.
+
+The reference parses each redo statement with a forked JSqlParser inside a
+``parallelStream`` (``LogminerRow.kt:63-96``, ``TransactionConsolidator.kt:
+52``): INSERT -> after image, UPDATE -> after = SET columns / before = WHERE
+equality columns, DELETE -> before image; string literals are converted per
+column type, ``'NULL'`` -> null (``LogminerRow.kt:117-118``), quoted
+identifiers stripped (``LogminerRow.kt:138``).
+
+Here the same semantics run as one Arrow-batched ``pandas_udf``: a compact
+recursive-descent parser over each statement producing JSON-encoded
+``{column -> literal-or-null}`` images (JSON keeps explicit nulls — an
+``UPDATE ... SET c = NULL`` must yield a *present* null, ``issues/
+Issue14Test.kt:93-116``). The JVM side turns them into
+``map<string,string>`` with ``from_json`` and types them via
+``functions.types.decode_image_map``. One Python invocation per Arrow
+batch — no per-row Python dispatch (input_hint requirement).
+
+Timestamp literals with zone names (``... US/Pacific PDT``) are normalized
+to UTC here, where ``zoneinfo`` is available (SURVEY §7 hard spot 4).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timezone
+from zoneinfo import ZoneInfo
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WS = re.compile(r"\s+")
+_IDENT = re.compile(r'"([^"]+)"|([A-Za-z_][A-Za-z0-9_$#]*)')
+_NUMBER = re.compile(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+_HEX = re.compile(r"HEXTORAW\('([0-9a-fA-F]*)'\)", re.IGNORECASE)
+_TS_PREFIX = re.compile(r"(TIMESTAMP|DATE)\s*", re.IGNORECASE)
+_TS_ZONED = re.compile(
+    r"^(\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2})(\.\d{1,9})?"
+    r"(?:\s+([A-Za-z_]+(?:/[A-Za-z_+\-0-9]+)*)(?:\s+[A-Z]{2,5})?|\s*([+-]\d{2}:\d{2}))?$"
+)
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("before", T.StringType(), True),
+        T.StructField("after", T.StringType(), True),
+        T.StructField("parse_error", T.StringType(), True),
+    ]
+)
+
+IMAGE_MAP_TYPE = "map<string,string>"
+
+
+class _ParseError(ValueError):
+    pass
+
+
+def _normalize_ts(lit: str) -> str:
+    """Normalize the three Oracle timestamp flavors to a UTC-or-naive
+    ``yyyy-MM-dd HH:mm:ss.ffffff`` string (ColumnSchemaBuilder.kt:129-194)."""
+    m = _TS_ZONED.match(lit.strip())
+    if not m:
+        return lit
+    base, frac, zone_name, offset = m.groups()
+    frac = (frac or ".0")[:7]  # micros max for datetime
+    dt = datetime.strptime(f"{base}{frac.ljust(7, '0')}", "%Y-%m-%d %H:%M:%S.%f")
+    if zone_name:
+        dt = dt.replace(tzinfo=ZoneInfo(zone_name)).astimezone(timezone.utc)
+    elif offset:
+        dt = datetime.fromisoformat(f"{base}{frac.ljust(7, '0')}{offset}").astimezone(timezone.utc)
+    else:
+        return f"{base}{frac.ljust(7, '0')}"
+    return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+class _Cursor:
+    __slots__ = ("s", "i", "n")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+        self.n = len(s)
+
+    def skip_ws(self) -> None:
+        while self.i < self.n and self.s[self.i] in " \t\r\n":
+            self.i += 1
+
+    def eat(self, token: str) -> bool:
+        self.skip_ws()
+        if self.s[self.i : self.i + len(token)].upper() == token.upper():
+            self.i += len(token)
+            return True
+        return False
+
+    def expect(self, token: str) -> None:
+        if not self.eat(token):
+            raise _ParseError(f"expected {token!r} at {self.i}: {self.s[self.i:self.i+40]!r}")
+
+    def ident(self) -> str:
+        self.skip_ws()
+        m = _IDENT.match(self.s, self.i)
+        if not m:
+            raise _ParseError(f"expected identifier at {self.i}")
+        self.i = m.end()
+        return m.group(1) if m.group(1) is not None else m.group(2).upper()
+
+    def string_literal(self) -> str:
+        """Single-quoted literal with '' escapes."""
+        self.expect("'")
+        out = []
+        s, i, n = self.s, self.i, self.n
+        while i < n:
+            c = s[i]
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                self.i = i + 1
+                return "".join(out)
+            out.append(c)
+            i += 1
+        raise _ParseError("unterminated string literal")
+
+    def value(self) -> str | None:
+        """One SQL literal -> canonical string (or None for NULL)."""
+        self.skip_ws()
+        s, i = self.s, self.i
+        if s[i : i + 4].upper() == "NULL" and not _IDENT.match(s, i + 4):
+            self.i += 4
+            return None
+        mh = _HEX.match(s, i)
+        if mh:
+            self.i = mh.end()
+            return mh.group(1).lower()
+        mt = _TS_PREFIX.match(s, i)
+        if mt and self.s[mt.end()] == "'":
+            self.i = mt.end()
+            lit = self.string_literal()
+            return _normalize_ts(lit) if mt.group(1).upper() == "TIMESTAMP" else lit
+        if s[i] == "'":
+            return self.string_literal()
+        if s[i : i + 11].upper() == "EMPTY_BLOB(" or s[i : i + 11].upper() == "EMPTY_CLOB(":
+            self.i = i + 12
+            return ""
+        mn = _NUMBER.match(s, i)
+        if mn:
+            self.i = mn.end()
+            return mn.group(0)
+        raise _ParseError(f"unparseable literal at {i}: {s[i:i+40]!r}")
+
+
+def _parse_where(cur: _Cursor) -> dict[str, str | None]:
+    """``WHERE c1 = v1 and c2 IS NULL ...`` -> equality/null image
+    (LogminerRow.kt:120-128 WHERE visitor)."""
+    img: dict[str, str | None] = {}
+    while True:
+        col = cur.ident()
+        cur.skip_ws()
+        if cur.eat("IS NULL"):
+            img[col] = None
+        else:
+            cur.expect("=")
+            img[col] = cur.value()
+        if not cur.eat("and"):
+            break
+    return img
+
+
+def parse_redo_statement(sql: str) -> tuple[dict | None, dict | None]:
+    """Parse one redo statement -> (before, after) images.
+
+    INSERT -> (None, after); UPDATE -> (where-image, set-image);
+    DELETE -> (where-image, None). Dispatch mirrors LogminerRow.kt:63-96.
+    """
+    cur = _Cursor(sql)
+    cur.skip_ws()
+    if cur.eat("insert into"):
+        cur.ident()
+        if cur.eat("."):
+            cur.ident()
+        cur.expect("(")
+        cols = [cur.ident()]
+        while cur.eat(","):
+            cols.append(cur.ident())
+        cur.expect(")")
+        cur.expect("values")
+        cur.expect("(")
+        vals = [cur.value()]
+        while cur.eat(","):
+            vals.append(cur.value())
+        cur.expect(")")
+        if len(cols) != len(vals):
+            raise _ParseError(f"{len(cols)} columns vs {len(vals)} values")
+        return None, dict(zip(cols, vals))
+    if cur.eat("update"):
+        cur.ident()
+        if cur.eat("."):
+            cur.ident()
+        cur.expect("set")
+        after: dict[str, str | None] = {}
+        while True:
+            col = cur.ident()
+            cur.expect("=")
+            after[col] = cur.value()
+            if not cur.eat(","):
+                break
+        before = _parse_where(cur) if cur.eat("where") else {}
+        return before, after
+    if cur.eat("delete from"):
+        cur.ident()
+        if cur.eat("."):
+            cur.ident()
+        before = _parse_where(cur) if cur.eat("where") else {}
+        return before, None
+    raise _ParseError(f"unsupported statement: {sql[:60]!r}")
+
+
+def _parse_one(sql: str | None) -> tuple[str | None, str | None, str | None]:
+    if sql is None:
+        return None, None, "null sql_redo"
+    try:
+        before, after = parse_redo_statement(sql)
+        return (
+            json.dumps(before) if before is not None else None,
+            json.dumps(after) if after is not None else None,
+            None,
+        )
+    except _ParseError as e:
+        # Reference: parse failure -> record skipped with error log
+        # (TransactionConsolidator.kt:66-69). We surface it as a column so
+        # the driver can count/route failures instead of dying.
+        return None, None, str(e)
+
+
+@F.pandas_udf(PARSED_SCHEMA)
+def parse_redo_udf(sql_redo: pd.Series) -> pd.DataFrame:
+    parsed = [_parse_one(s) for s in sql_redo]
+    return pd.DataFrame(parsed, columns=["before", "after", "parse_error"])
+
+
+def with_parsed_images(df, sql_col: str = "sql_redo"):
+    """Attach typed-image precursors: ``before``/``after`` as
+    ``map<string,string>`` (explicit nulls preserved) + ``parse_error``."""
+    parsed = df.withColumn("__parsed", parse_redo_udf(F.col(sql_col)))
+    return (
+        parsed.withColumn("before_json", F.col("__parsed.before"))
+        .withColumn("after_json", F.col("__parsed.after"))
+        .withColumn("before", F.from_json("__parsed.before", IMAGE_MAP_TYPE))
+        .withColumn("after", F.from_json("__parsed.after", IMAGE_MAP_TYPE))
+        .withColumn("parse_error", F.col("__parsed.parse_error"))
+        .drop("__parsed")
+    )
+
+
+def set_cols_expr(img: Column) -> Column:
+    """Explicitly-set column names of an image (drives partial-update MERGE)."""
+    return F.map_keys(img)

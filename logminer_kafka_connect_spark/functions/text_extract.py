@@ -1,0 +1,53 @@
+"""HTML -> text extraction (P5) — the north_star per-row payload work.
+
+Not present in the reference (its payload is opaque column values); required
+by BASELINE.json input_hint: deterministic, **byte-identical text per url**.
+
+``extract_text`` is a pure function (the single source of truth — the
+pytest oracle calls it directly on bytes); ``extract_text_udf`` wraps it in
+an Arrow-vectorized pandas UDF (no per-row Python dispatch from the JVM:
+one Python invocation per Arrow batch).
+
+The extractor is intentionally dependency-free (no bs4/lxml in the image)
+and fully deterministic: drop <script>/<style>, strip tags, decode the
+few HTML entities the generator can emit, collapse whitespace.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_RE = re.compile(rb"<(script|style)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last, so &amp;lt; -> &lt; stays literal
+]
+
+
+def extract_text(html: bytes | None) -> str | None:
+    """Deterministic HTML -> text. Pure; byte-identical for equal input."""
+    if html is None:
+        return None
+    body = _SCRIPT_RE.sub(b" ", html)
+    body = _COMMENT_RE.sub(b" ", body)
+    body = _TAG_RE.sub(b" ", body)
+    text = body.decode("utf-8", errors="replace")
+    for ent, ch in _ENTITIES:
+        text = text.replace(ent, ch)
+    return _WS_RE.sub(" ", text).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)

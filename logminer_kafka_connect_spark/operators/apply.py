@@ -1,0 +1,111 @@
+"""Apply stage — parse → net-effect → typed MERGE source (SURVEY §7.1 step 5).
+
+Pipeline per microbatch (all lazy; Catalyst fuses the filters/projections
+around the two Arrow UDF stages):
+
+    committed changes (consolidate.py)
+      -> parse redo SQL (P2/P3 pandas UDF)        [functions/redo_parse.py]
+      -> net-effect fold per key (A6)             [operators/dedup.py]
+      -> typed projection via the type ladder (P3) + HTML->text (P5)
+      -> MERGE INTO the snapshot table (J6, enrichment P4 inside the merge)
+
+Skew / distribution (C11, north_star "explicit salted-repartition stage"):
+the parse UDF runs on the exchange produced by CSF reassembly, which hashes
+on ``(xid, scn, row_id)`` — uniformly distributed keys, so a hot url cannot
+concentrate parse work on one task (that exchange IS the salting; when
+reassembly is skipped an explicit ``repartition(scn, row_id)`` is applied).
+Text extraction runs *after* the net-effect fold — once per final image per
+key per batch, not once per change event (the reference converts every
+record, ``TransactionConsolidator.kt:47-77``). The fold itself groups by
+url; its overlay is associative, so extreme per-key skew can be split into
+scn-range partial folds (documented in dedup.py); AQE skew handling covers
+the merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logminer_kafka_connect_spark.functions.redo_parse import with_parsed_images
+from logminer_kafka_connect_spark.functions.text_extract import extract_text_udf
+from logminer_kafka_connect_spark.functions.types import decode_literal
+from logminer_kafka_connect_spark.operators.dedup import net_effect
+from logminer_kafka_connect_spark.plans.lakehouse import OP_COL, SET_COLS_COL
+
+# pages-table columns that are *derived*, not carried in redo SQL
+DERIVED_TEXT_COL = "text"
+HTML_SOURCE_COL = "html"
+
+
+def parse_committed(committed: DataFrame, ensure_distribution: bool = False) -> DataFrame:
+    """P2/P3 over committed changes; parse failures are split out by the
+    caller via ``parse_error`` (reference skips + logs,
+    ``TransactionConsolidator.kt:66-69``)."""
+    if ensure_distribution:
+        committed = committed.repartition(F.col("scn"), F.col("row_id"))
+    return with_parsed_images(committed)
+
+
+def build_merge_source(
+    parsed: DataFrame,
+    schema: T.StructType,
+    key_col: str = "url",
+    db_timezone: str = "UTC",
+) -> DataFrame:
+    """Net-effect fold + typed projection -> SnapshotTable.merge contract.
+
+    Output: table columns (typed) + ``__op`` ('u'|'d') + ``__set_cols``
+    (null = full-row image -> replace; else only those columns are applied,
+    the rest keep the target value — P4 enrichment semantics with explicit
+    NULLs preserved, ``issues/Issue14Test.kt``).
+    """
+    net = net_effect(parsed, key_col=key_col)
+    img = F.col("__net.img")
+    deleted = F.col("__net.deleted")
+    fresh = F.col("__net.fresh")
+
+    has_html = F.map_contains_key(img, F.lit(HTML_SOURCE_COL.upper()))
+
+    cols: list[Column] = []
+    for field in schema.fields:
+        if field.name == key_col:
+            cols.append(F.col(key_col).cast(field.dataType).alias(field.name))
+        elif field.name == DERIVED_TEXT_COL:
+            # P5: recompute text whenever the image carries html
+            text = F.when(
+                has_html,
+                extract_text_udf(F.unhex(F.try_element_at(img, F.lit(HTML_SOURCE_COL.upper())))),
+            ).otherwise(F.lit(None).cast("string"))
+            cols.append(text.alias(field.name))
+        else:
+            raw = F.try_element_at(img, F.lit(field.name.upper()))
+            cols.append(decode_literal(raw, field.dataType, db_timezone).alias(field.name))
+
+    set_cols = F.when(deleted | fresh, F.lit(None).cast("array<string>")).otherwise(
+        F.when(
+            has_html,
+            F.array_union(
+                F.transform(F.map_keys(img), lambda c: F.lower(c)),
+                F.array(F.lit(DERIVED_TEXT_COL)),
+            ),
+        ).otherwise(F.transform(F.map_keys(img), lambda c: F.lower(c)))
+    )
+    op = F.when(deleted, F.lit("d")).otherwise(F.lit("u"))
+    return net.select(*cols, op.alias(OP_COL), set_cols.alias(SET_COLS_COL))
+
+
+def partition_lineage(changes: DataFrame, batch_id: str) -> DataFrame:
+    """A7 — per-partition SCN range + row counts for the lineage table
+    (north_rule; reference analog: per-record offset maps,
+    ``ConnectSchemaFactory.kt:129-131``)."""
+    return (
+        changes.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.min("scn").alias("scn_min"),
+            F.max("scn").alias("scn_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )

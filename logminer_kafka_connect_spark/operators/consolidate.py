@@ -1,0 +1,125 @@
+"""Transaction consolidation — J1/J2/A1/T2/P1 (SURVEY.md §2.4, §2.10).
+
+The reference buffers changes per xid in a heap/disk map and releases them
+on COMMIT (``logminer/TransactionConsolidator.kt:25-102``,
+``Transaction.kt``). The Spark-native design keeps **no operator state**:
+the event log itself is the state. Each microbatch is a *commit-SCN range*;
+member changes of the committing transactions are (re-)scanned from the
+log, so an uncommitted transaction's rows simply stay in place until the
+batch whose range contains their COMMIT (T2 hold-back). This mirrors the
+reference's resume-from-``lowestChangeScn`` re-read
+(``logminer/LogminerFetcher.kt:32-41``) instead of translating the buffer.
+
+Scale notes (100 TB): changes join markers on ``xid`` — both sides come
+pre-filtered by pushed predicates; the marker side of a batch is tiny
+relative to changes, so it is broadcast. The change re-scan is bounded
+below by the carryover watermark (A1) and above by the batch's commit-SCN
+ceiling; with the event log laid out scn-sorted/partitioned both bounds
+prune files (the analog of the reference mining only logs whose
+``[FIRST_CHANGE#, NEXT_CHANGE#)`` overlaps, ``LogminerSession.kt:62-74``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logminer_kafka_connect_spark.operators.filters import (
+    TableSelector,
+    filter_changes,
+    filter_markers,
+)
+from logminer_kafka_connect_spark.sources.events import OP_COMMIT, OP_ROLLBACK
+
+
+def reassemble_csf(changes: DataFrame) -> DataFrame:
+    """P1 — CSF continuation reassembly (``LogminerFetcher.kt:144-153``).
+
+    Chunks of one statement share ``(xid, scn, row_id)`` and are ordered by
+    ``seq``; concatenate with an order-stable aggregation (map-side partial
+    aggregation applies; no window needed). Single-chunk rows (the vast
+    majority) pass through the same group-by, which AQE keeps cheap.
+    """
+    parts = F.array_sort(F.collect_list(F.struct("seq", "sql_redo")))
+    sql = F.concat_ws("", F.expr("transform(__parts, p -> p.sql_redo)"))
+    return (
+        changes.groupBy("xid", "scn", "row_id")
+        .agg(
+            parts.alias("__parts"),
+            F.first("commit_scn").alias("commit_scn_raw"),
+            F.first("ts").alias("ts"),
+            F.first("op_code").alias("op_code"),
+            F.first("operation").alias("operation"),
+            F.first("seg_owner").alias("seg_owner"),
+            F.first("table_name").alias("table_name"),
+            F.first("username").alias("username"),
+        )
+        .withColumn("sql_redo", sql)
+        .drop("__parts")
+    )
+
+
+def consolidate(
+    events: DataFrame,
+    selectors: list[TableSelector],
+    commit_lo: int | None = None,
+    commit_hi: int | None = None,
+    change_lo: int | None = None,
+) -> DataFrame:
+    """Changes of transactions *committed* in ``[commit_lo, commit_hi)``,
+    reassembled, stamped with their ``commit_scn`` (J1), rollbacks excluded
+    (J2). Returns one row per change with
+    ``(xid, scn, row_id, commit_scn, op_code, operation, sql_redo, ...)``.
+    """
+    markers = filter_markers(events)
+    if commit_lo is not None:
+        markers = markers.filter(F.col("scn") >= commit_lo)
+    if commit_hi is not None:
+        markers = markers.filter(F.col("scn") < commit_hi)
+
+    commits = (
+        markers.filter(F.col("op_code") == OP_COMMIT)
+        .select("xid", F.col("scn").alias("commit_scn"))
+        .dropDuplicates(["xid"])
+    )
+    rollbacks = markers.filter(F.col("op_code") == OP_ROLLBACK).select("xid").distinct()
+
+    changes = filter_changes(events, selectors)
+    if commit_hi is not None:
+        # a change always precedes its commit marker
+        changes = changes.filter(F.col("scn") < commit_hi)
+    if change_lo is not None:
+        # T2 carryover bound: every change below the previous batch's
+        # open-txn watermark belongs to an already-applied commit — the
+        # re-scan is pruned to [watermark, commit_hi), exactly the
+        # reference's resume-from-lowestChangeScn (LogminerFetcher.kt:32-41)
+        changes = changes.filter(F.col("scn") >= change_lo)
+    changes = reassemble_csf(changes).drop("commit_scn_raw")
+
+    # J1: equi-join to the committed-xid set — broadcast the marker side
+    # (bounded by txns committing in this batch, orders of magnitude smaller
+    # than the change set). J2: anti-join rolled-back xids
+    # (TransactionConsolidator.kt:42-45).
+    out = changes.join(F.broadcast(commits), "xid", "inner")
+    out = out.join(F.broadcast(rollbacks), "xid", "left_anti")
+    return out
+
+
+def open_txn_watermark(
+    events: DataFrame,
+    selectors: list[TableSelector],
+    commit_hi: int,
+) -> tuple[int | None, int]:
+    """A1 — the safe resume point: ``min(scn)`` over changes whose
+    transaction has no marker below ``commit_hi``
+    (``TransactionConsolidator.kt:57-62, 113-115``). Returns
+    ``(min_open_scn_or_None, n_open_changes)``; the next batch re-scans
+    changes from this bound (T2 carryover).
+    """
+    markers = filter_markers(events).filter(F.col("scn") < commit_hi).select("xid").distinct()
+    changes = filter_changes(events, selectors).filter(F.col("scn") < commit_hi)
+    open_changes = changes.join(markers, "xid", "left_anti")
+    row = open_changes.agg(
+        F.min("scn").alias("lo"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return row["lo"], row["n"]

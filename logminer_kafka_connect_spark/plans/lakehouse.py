@@ -1,0 +1,421 @@
+"""SnapshotTable — a versioned, bucketed, MERGE-capable lake table on parquet.
+
+The north_rule targets Iceberg; this sandbox has no Iceberg runtime jar, so
+this module implements the *Iceberg contract* from scratch on plain parquet
+with JSON metadata:
+
+- **atomic snapshot commits**: every write produces immutable data files plus
+  a new ``metadata/v{N}.json`` manifest; the current version is a one-line
+  pointer file swapped with ``os.replace`` (atomic on POSIX). Readers always
+  see a complete snapshot. (Iceberg analog: metadata.json + version-hint.)
+- **time travel**: ``read(spark, version=k)`` plans from any retained
+  manifest — this is the engine's flashback source, replacing the
+  reference's ``SELECT ... AS OF SCN`` snapshot scan
+  (``initial/TableFetcher.kt:20-23``, ``initial/SelectSource.kt:51-60``).
+- **schema evolution**: add/rename column are metadata-only commits; old data
+  files are reconciled at read time (missing column -> initial default /
+  null, rename -> coalesce of old physical name), mirroring the reference's
+  refresh-on-DDL schema path (``SchemaService.kt:34-36``,
+  ``ChangingTableTest.kt:42-93``). Real Iceberg uses field IDs; we use a
+  recorded rename chain — same observable semantics.
+- **MERGE INTO with file-level pruning**: the table is hash-bucketed on its
+  key column(s) (``pmod(xxhash64(key), n_buckets)`` — the Spark analog of
+  the reference's Kafka key-hash partitioning, ``ConnectSchemaFactory.kt:
+  129-137``). A merge only reads and rewrites the buckets that the source
+  batch touches; untouched buckets' files are carried into the new manifest
+  by reference. At 100 TB / high bucket count this is the difference
+  between rewriting the table per microbatch and rewriting ~batch-sized
+  slices, and the bucket join is shuffle-aligned on both sides.
+- **idempotent commits (exactly-once)**: each merge carries a ``batch_id``;
+  applied ids are recorded in the manifest, and a replayed batch is a
+  no-op. Combined with deterministic microbatch SCN ranges
+  (streaming/driver.py) this upgrades the reference's at-least-once
+  guarantee (``manifest.json:12-14``) to effective exactly-once.
+
+Single-writer is assumed (the replay driver); Iceberg's optimistic-retry
+commit protocol is out of scope and noted as a deviation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Contract for merge() inputs: the net-effect batch carries the table's
+# columns plus these control columns (built by operators/apply.py).
+OP_COL = "__op"  # 'u' = upsert, 'd' = delete
+SET_COLS_COL = "__set_cols"  # array<string>: columns explicitly set; null => full row
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class MergeStats:
+    applied: bool
+    version: int
+    affected_buckets: int
+    source_rows: int
+
+
+class SnapshotTable:
+    """A versioned bucketed table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._meta_dir = os.path.join(path, "metadata")
+        self._data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------- metadata
+    def _pointer_path(self) -> str:
+        return os.path.join(self._meta_dir, "CURRENT")
+
+    def current_version(self) -> int:
+        with open(self._pointer_path()) as f:
+            return int(f.read().strip())
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version:06d}.json")
+
+    def metadata(self, version: int | None = None) -> dict[str, Any]:
+        if version is None:
+            version = self.current_version()
+        with open(self._meta_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict[str, Any]) -> None:
+        """Write manifest then atomically swing the pointer."""
+        version = meta["version"]
+        mp = self._meta_path(version)
+        tmp = mp + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, mp)
+        ptr_tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, self._pointer_path())
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.metadata(version)["schema"])
+
+    def key_cols(self) -> list[str]:
+        return list(self.metadata()["key_cols"])
+
+    def exists(self) -> bool:
+        return os.path.exists(self._pointer_path())
+
+    def snapshot_history(self) -> list[dict[str, Any]]:
+        out = []
+        for v in range(self.current_version() + 1):
+            m = self.metadata(v)
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": m["timestamp"],
+                    "operation": m.get("operation"),
+                    "batch_id": m.get("batch_id"),
+                    "summary": m.get("summary", {}),
+                }
+            )
+        return out
+
+    def applied_batch_ids(self) -> set[str]:
+        return set(self.metadata().get("applied_batch_ids", []))
+
+    # --------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 32,
+        column_defaults: dict[str, Any] | None = None,
+    ) -> "SnapshotTable":
+        t = cls(path)
+        if t.exists():
+            raise ValueError(f"table already exists at {path}")
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        meta = {
+            "version": 0,
+            "operation": "create",
+            "timestamp": time.time(),
+            "schema": schema.jsonValue(),
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            # bucket id (str) -> list of parquet directories holding its rows
+            "buckets": {},
+            "renames": [],  # list of [old_physical_name, new_name]
+            "column_defaults": column_defaults or {},
+            "applied_batch_ids": [],
+            "summary": {"total_rows": 0},
+        }
+        t._commit(meta)
+        return t
+
+    # ----------------------------------------------------------------- read
+    @staticmethod
+    def _physical_columns(path: str) -> frozenset[str]:
+        """Physical column set of a data directory (parquet footer of one
+        file — all files in a commit dir share a schema). Iceberg records a
+        schema-id per data file in the manifest; footers are our stand-in."""
+        import pyarrow.parquet as pq
+
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return frozenset(pq.read_schema(os.path.join(root, f)).names)
+        return frozenset()
+
+    def _read_paths(self, spark: SparkSession, paths: list[str], meta: dict) -> DataFrame:
+        """Read data files and reconcile them to the manifest schema.
+
+        Files are grouped by their *physical* schema so that:
+        - an added column's initial default fills only rows written before
+          the column existed (Iceberg initial-default semantics;
+          ``ChangingTableTest.kt:42-93``) — an explicitly-written NULL in a
+          newer file stays NULL (``issues/Issue14Test.kt:93-116``);
+        - renames reconcile by reading the old physical name
+          (``rename_column`` is metadata-only).
+        """
+        schema = T.StructType.fromJson(meta["schema"])
+        if not paths:
+            return spark.createDataFrame([], schema)
+        renames = {old: new for old, new in meta.get("renames", [])}
+        defaults = meta.get("column_defaults", {})
+
+        groups: dict[frozenset[str], list[str]] = {}
+        for p in paths:
+            groups.setdefault(self._physical_columns(p), []).append(p)
+
+        parts: list[DataFrame] = []
+        for phys, group_paths in groups.items():
+            df = spark.read.parquet(*group_paths)
+            have = set(df.columns) & phys
+            for old, new in renames.items():
+                if old in have and new not in have:
+                    df = df.withColumnRenamed(old, new)
+                    have = (have - {old}) | {new}
+            cols = []
+            for field in schema.fields:
+                if field.name in have:
+                    c = F.col(field.name).cast(field.dataType)
+                else:
+                    d = defaults.get(field.name)
+                    c = F.lit(d).cast(field.dataType) if d is not None else F.lit(None).cast(field.dataType)
+                cols.append(c.alias(field.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot (time-travel) read. Replaces flashback ``AS OF SCN``."""
+        meta = self.metadata(version)
+        paths = sorted({p for ps in meta["buckets"].values() for p in ps})
+        return self._read_paths(spark, paths, meta)
+
+    def read_buckets(self, spark: SparkSession, buckets: list[int], version: int | None = None) -> DataFrame:
+        meta = self.metadata(version)
+        paths = sorted({p for b in buckets for p in meta["buckets"].get(str(b), [])})
+        return self._read_paths(spark, paths, meta)
+
+    # ---------------------------------------------------------------- write
+    def _write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+        """Write df (must carry BUCKET_COL) partitioned by bucket; return
+        bucket -> [path] for the buckets that received rows."""
+        out_dir = os.path.join(self._data_dir, f"commit-{version:06d}-{uuid.uuid4().hex[:8]}")
+        (
+            df.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        mapping: dict[str, list[str]] = {}
+        if os.path.exists(out_dir):
+            for name in os.listdir(out_dir):
+                if name.startswith(f"{BUCKET_COL}="):
+                    b = name.split("=", 1)[1]
+                    mapping[b] = [os.path.join(out_dir, name)]
+        return mapping
+
+    def overwrite(self, df: DataFrame, batch_id: str | None = None) -> MergeStats:
+        """Full overwrite (used by the initial snapshot load, S2/S3)."""
+        meta = self.metadata()
+        if batch_id is not None and batch_id in set(meta.get("applied_batch_ids", [])):
+            return MergeStats(False, meta["version"], 0, 0)
+        version = meta["version"] + 1
+        schema = T.StructType.fromJson(meta["schema"])
+        out = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
+        out = out.withColumn(BUCKET_COL, _bucket_expr(meta["key_cols"], meta["n_buckets"]))
+        buckets = self._write_buckets(out, version)
+        new_meta = dict(meta)
+        new_meta.update(
+            version=version,
+            operation="overwrite",
+            timestamp=time.time(),
+            buckets=buckets,
+            batch_id=batch_id,
+            applied_batch_ids=meta.get("applied_batch_ids", []) + ([batch_id] if batch_id else []),
+        )
+        self._commit(new_meta)
+        return MergeStats(True, version, len(buckets), -1)
+
+    # ---------------------------------------------------------------- merge
+    def merge(self, spark: SparkSession, source: DataFrame, batch_id: str | None = None) -> MergeStats:
+        """MERGE INTO this table (J6/S7 in SURVEY.md §2.4).
+
+        ``source`` contract: one row per key (caller dedups via the A6
+        net-effect fold), columns = table columns (typed) + ``__op``
+        ('u'|'d') + ``__set_cols`` (array<string> of explicitly-set columns;
+        null = full-row image). Semantics per key:
+
+        - matched, op='d'            -> DELETE (tombstone collapses here,
+                                        reference S7 ``ConnectSchemaFactory.
+                                        kt:138-152``)
+        - matched, op='u', full row  -> replace
+        - matched, op='u', partial   -> column c := c in set_cols ?
+                                        source.c : target.c  (P4 enrichment
+                                        semantics ``ConnectSchemaFactory.kt:
+                                        97-104`` — explicitly-set NULL stays
+                                        NULL, un-set columns keep the target
+                                        value; ``issues/Issue14Test.kt``)
+        - not matched, op='u'        -> INSERT (un-set columns -> null)
+        - not matched, op='d'        -> no-op
+
+        Only buckets present in the source are read/rewritten; the join is
+        a per-bucket full-outer on the key, both sides already hashed on it.
+        """
+        meta = self.metadata()
+        if batch_id is not None and batch_id in set(meta.get("applied_batch_ids", [])):
+            return MergeStats(False, meta["version"], 0, 0)
+
+        key_cols = meta["key_cols"]
+        n_buckets = meta["n_buckets"]
+        schema = T.StructType.fromJson(meta["schema"])
+        data_cols = [f.name for f in schema.fields]
+
+        src = source.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+        src = src.persist()
+        try:
+            affected = [r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect()]
+            n_src = src.count()
+            target = self.read_buckets(spark, affected).withColumn(
+                BUCKET_COL, _bucket_expr(key_cols, n_buckets)
+            )
+
+            join_cond = [src[k].eqNullSafe(target[k]) for k in key_cols]
+            joined = target.alias("t").join(src.alias("s"), join_cond, "full_outer")
+
+            s_op = F.col(f"s.{OP_COL}")
+            s_key = F.col(f"s.{key_cols[0]}")
+            t_key = F.col(f"t.{key_cols[0]}")
+            matched = t_key.isNotNull() | F.col(f"t.{BUCKET_COL}").isNotNull()
+            has_src = s_key.isNotNull() | F.col(f"s.{BUCKET_COL}").isNotNull()
+
+            set_cols = F.col(f"s.{SET_COLS_COL}")
+            out_cols = []
+            for c in data_cols:
+                sc, tc = F.col(f"s.{c}"), F.col(f"t.{c}")
+                explicitly_set = set_cols.isNull() | F.array_contains(set_cols, c)
+                merged = (
+                    F.when(~has_src, tc)
+                    .when(~matched, sc)  # insert: un-set -> null already
+                    .when(explicitly_set, sc)
+                    .otherwise(tc)
+                )
+                out_cols.append(merged.alias(c))
+            keep = ~has_src | (s_op != F.lit("d"))
+            bucket_out = F.coalesce(F.col(f"s.{BUCKET_COL}"), F.col(f"t.{BUCKET_COL}")).alias(BUCKET_COL)
+            merged_df = joined.filter(keep).select(*out_cols, bucket_out)
+
+            version = meta["version"] + 1
+            new_buckets_map = self._write_buckets(merged_df, version)
+        finally:
+            src.unpersist()
+
+        buckets = dict(meta["buckets"])
+        for b in affected:
+            buckets.pop(str(b), None)
+        for b, paths in new_buckets_map.items():
+            buckets[b] = paths
+        new_meta = dict(meta)
+        new_meta.update(
+            version=version,
+            operation="merge",
+            timestamp=time.time(),
+            buckets=buckets,
+            batch_id=batch_id,
+            applied_batch_ids=meta.get("applied_batch_ids", []) + ([batch_id] if batch_id else []),
+            summary={"source_rows": n_src, "affected_buckets": len(affected)},
+        )
+        self._commit(new_meta)
+        return MergeStats(True, version, len(affected), n_src)
+
+    # ------------------------------------------------------ schema evolution
+    def add_column(self, name: str, data_type: T.DataType, default: Any = None) -> int:
+        """Metadata-only ADD COLUMN (T9). Existing rows read back the
+        initial default (or null), matching ``ChangingTableTest.kt:42-93``."""
+        meta = self.metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        if name in [f.name for f in schema.fields]:
+            return meta["version"]  # idempotent
+        schema = schema.add(T.StructField(name, data_type, True))
+        new_meta = dict(meta)
+        defaults = dict(meta.get("column_defaults", {}))
+        if default is not None:
+            defaults[name] = default
+        new_meta.update(
+            version=meta["version"] + 1,
+            operation="add_column",
+            timestamp=time.time(),
+            schema=schema.jsonValue(),
+            column_defaults=defaults,
+        )
+        self._commit(new_meta)
+        return new_meta["version"]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN; old physical files reconcile at read."""
+        meta = self.metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            if new in names:
+                return meta["version"]  # already renamed (idempotent replay)
+            raise ValueError(f"no such column: {old}")
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        new_meta = dict(meta)
+        defaults = dict(meta.get("column_defaults", {}))
+        if old in defaults:
+            defaults[new] = defaults.pop(old)
+        new_meta.update(
+            version=meta["version"] + 1,
+            operation="rename_column",
+            timestamp=time.time(),
+            schema=T.StructType(fields).jsonValue(),
+            renames=meta.get("renames", []) + [[old, new]],
+            column_defaults=defaults,
+        )
+        self._commit(new_meta)
+        return new_meta["version"]
+
+    # -------------------------------------------------------------- cleanup
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)

@@ -1,0 +1,63 @@
+"""SparkSession bootstrap for the CDC engine.
+
+The reference opens one JDBC connection with retry/backoff
+(``SourceConnectorConfig.kt:31-58``); our analog is one SparkSession tuned
+for the workload: AQE on (runtime re-plan + skew-join splitting), Arrow on
+(pandas UDF hot path), UTC session zone (oracle comparison + deterministic
+timestamps), LAST_WIN map-key policy (the update-overlay fold in
+operators/dedup.py relies on ``map_concat`` last-write-wins).
+
+At cluster scale the same builder is used from ``spark-submit --py-files``;
+only ``master`` / memory / ``spark.sql.shuffle.partitions`` change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "logminer-kafka-connect-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "16g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
+    ``local[*]``. In local mode the driver JVM is the whole cluster, so
+    ``spark.driver.memory`` is the only memory knob that matters.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # Spark 4 defaults ANSI on; the CDC parse path needs permissive
+        # null-on-miss semantics (map access on partial images, lenient casts)
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,261 @@
+"""Replay driver — the engine's ``SourceTask.poll()`` loop, Spark-shaped.
+
+The reference's lifecycle (``SourceTask.kt:113-150``): poll the cursor,
+consolidate transactions, convert, emit, advance offset. Here each
+"poll" is a **commit-SCN-range microbatch**: commits with
+``commit_scn in [lo, hi)`` are applied atomically with one MERGE commit,
+lineage is recorded, and resume recomputes the same deterministic ranges so
+already-applied batches are skipped by batch-id (idempotent — effective
+exactly-once, upgrading the reference's at-least-once ``manifest.json:
+12-14``).
+
+Batch boundaries are cut at DDL SCNs (SURVEY §7 hard spot 7): an ALTER is
+applied to the table *between* the batch that ends at the DDL's SCN and the
+first batch after it, so every merge runs against the schema its events
+were produced under.
+
+Two front-ends share ``process_range``:
+- ``replay()``: bounded replay over a static event log (deterministic
+  ranges; this is what the benchmark drives).
+- ``run_streaming()``: Structured Streaming ``readStream`` over the event
+  directory with ``foreachBatch`` — each trigger derives its commit range
+  from the markers it contains and re-scans the log for member changes
+  (T2: uncommitted rows naturally wait for the trigger that sees their
+  COMMIT). Checkpointing is the streaming WAL + the lineage table.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logminer_kafka_connect_spark.operators.apply import (
+    build_merge_source,
+    parse_committed,
+    partition_lineage,
+)
+from logminer_kafka_connect_spark.operators.consolidate import (
+    consolidate,
+    open_txn_watermark,
+)
+from logminer_kafka_connect_spark.operators.filters import TableSelector, filter_ddl
+from logminer_kafka_connect_spark.plans.lakehouse import SnapshotTable
+from logminer_kafka_connect_spark.plans.lineage import LineageLog
+from logminer_kafka_connect_spark.streaming.ddl import DdlEvent, apply_ddl, parse_ddl
+
+
+@dataclass
+class ReplayStats:
+    n_batches: int
+    n_events_applied: int
+    n_parse_errors: int
+    wall_s: float
+    final_version: int
+
+
+class ReplayDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        lineage: LineageLog,
+        selectors: list[TableSelector],
+        key_col: str = "url",
+        db_timezone: str = "UTC",
+        track_parse_errors: bool = True,
+        track_partition_lineage: bool = True,
+    ):
+        self.spark = spark
+        self.table = table
+        self.lineage = lineage
+        self.selectors = selectors
+        self.key_col = key_col
+        self.db_timezone = db_timezone
+        self.track_parse_errors = track_parse_errors
+        self.track_partition_lineage = track_partition_lineage
+
+    # ------------------------------------------------------------ one batch
+    def process_range(self, events: DataFrame, lo: int, hi: int, change_lo: int | None) -> dict:
+        batch_id = f"cdc-{lo}-{hi}"
+        if batch_id in self.lineage.applied_batch_ids():
+            return {"batch_id": batch_id, "skipped": True}
+        t0 = time.time()
+
+        committed = consolidate(events, self.selectors, lo, hi, change_lo=change_lo)
+        already_merged = batch_id in self.table.applied_batch_ids()
+
+        n_parse_errors = 0
+        n_changes = 0
+        part_df = None
+        if not already_merged:
+            parsed = parse_committed(committed)
+            if self.track_parse_errors or self.track_partition_lineage:
+                parsed = parsed.persist()
+                if self.track_parse_errors:
+                    n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
+                good = parsed.filter(F.col("parse_error").isNull())
+                if self.track_partition_lineage:
+                    part_df = partition_lineage(good, batch_id)
+            else:
+                good = parsed.filter(F.col("parse_error").isNull())
+
+            source = build_merge_source(
+                good, self.table.schema(), key_col=self.key_col, db_timezone=self.db_timezone
+            )
+            stats = self.table.merge(self.spark, source, batch_id=batch_id)
+            n_changes = stats.source_rows
+            if self.track_parse_errors or self.track_partition_lineage:
+                parsed.unpersist()
+
+        watermark, n_open = open_txn_watermark(events, self.selectors, hi)
+        record = {
+            "batch_id": batch_id,
+            "scn_lo": lo,
+            "scn_hi": hi,
+            "commit_watermark": watermark,
+            "n_open_changes": n_open,
+            "n_net_rows": n_changes,
+            "n_parse_errors": n_parse_errors,
+            "table_version": self.table.current_version(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        self.lineage.record_batch(record, partition_df=part_df)
+        return record
+
+    # ------------------------------------------------------- bounded replay
+    def plan_ranges(self, events: DataFrame, n_batches: int, start_scn: int | None = None) -> tuple[list[tuple[int, int]], dict[int, DdlEvent]]:
+        """Deterministic commit-SCN ranges, split at DDL boundaries."""
+        markers_span = (
+            consolidate_span(events, self.selectors, start_scn)
+        )
+        if markers_span is None:
+            return [], {}
+        lo, hi = markers_span
+        ddls: dict[int, DdlEvent] = {}
+        for r in filter_ddl(events, self.selectors).select("scn", "sql_redo").collect():
+            if start_scn is not None and r["scn"] <= start_scn:
+                continue
+            ev = parse_ddl(r["scn"], r["sql_redo"])
+            if ev is not None:
+                ddls[r["scn"]] = ev
+
+        if ddls:
+            lo = min(lo, min(ddls.keys()))  # DDL before the first commit
+        width = max(1, (hi - lo + n_batches) // n_batches)
+        bounds = sorted(
+            {lo + i * width for i in range(n_batches)} | {hi + 1} | set(ddls.keys())
+        )
+        bounds = [b for b in bounds if lo <= b <= hi + 1]
+        if bounds[0] != lo:
+            bounds.insert(0, lo)
+        ranges = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+        return ranges, ddls
+
+    def replay(self, events: DataFrame, n_batches: int = 8, start_scn: int | None = None) -> ReplayStats:
+        """Bounded replay with crash-resume: rerunning is a no-op for
+        already-applied ranges (batch-id idempotence in both the table and
+        the lineage log)."""
+        t0 = time.time()
+        ranges, ddls = self.plan_ranges(events, n_batches, start_scn)
+        n_applied = 0
+        n_errors = 0
+        done = 0
+        by_id = {b["batch_id"]: b for b in self.lineage.batches()}
+        change_lo = None
+        for lo, hi in ranges:
+            # DDL boundary: evolve schema before the batch that starts here
+            if lo in ddls:
+                apply_ddl(self.table, ddls[lo])
+            rec = self.process_range(events, lo, hi, change_lo)
+            if not rec.get("skipped"):
+                n_applied += rec["n_net_rows"]
+                n_errors += rec["n_parse_errors"]
+                change_lo = rec["commit_watermark"] or hi
+            else:
+                prior = by_id.get(rec["batch_id"], {})
+                # watermark recorded when this range was first applied;
+                # None (full re-scan) if unavailable — safe, just slower
+                change_lo = prior.get("commit_watermark") or prior.get("scn_hi")
+            done += 1
+        return ReplayStats(
+            n_batches=done,
+            n_events_applied=n_applied,
+            n_parse_errors=n_errors,
+            wall_s=time.time() - t0,
+            final_version=self.table.current_version(),
+        )
+
+    # ---------------------------------------------------------- streaming
+    def run_streaming(
+        self,
+        events_path: str,
+        checkpoint_dir: str,
+        full_log: DataFrame | None = None,
+        max_files_per_trigger: int = 8,
+        start_scn: int | None = None,
+    ):
+        """Structured Streaming front-end: the event directory is the
+        unbounded source; each trigger's marker set defines the commit
+        range; member changes are re-scanned from the full log (T2 without
+        operator state). ``Trigger.AvailableNow`` semantics via
+        ``availableNow=True`` drain the log and stop."""
+        from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA, OP_COMMIT, OP_ROLLBACK
+
+        spark = self.spark
+        if full_log is None:
+            full_log = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
+
+        def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            markers = (
+                batch_df.filter(F.col("op_code").isin(OP_COMMIT, OP_ROLLBACK, 5))
+                .agg(F.min("scn").alias("lo"), F.max("scn").alias("hi"))
+                .collect()[0]
+            )
+            if markers["lo"] is None:
+                return
+            lo, hi = markers["lo"], markers["hi"] + 1
+            if start_scn is not None:
+                lo = max(lo, start_scn + 1)
+                if lo >= hi:
+                    return
+            ddl_rows = (
+                filter_ddl(batch_df, self.selectors)
+                .filter((F.col("scn") >= lo) & (F.col("scn") < hi))
+                .select("scn", "sql_redo")
+                .collect()
+            )
+            bounds = sorted({lo, hi} | {r["scn"] for r in ddl_rows})
+            ddls = {r["scn"]: parse_ddl(r["scn"], r["sql_redo"]) for r in ddl_rows}
+            for i in range(len(bounds) - 1):
+                b_lo, b_hi = bounds[i], bounds[i + 1]
+                if b_lo in ddls and ddls[b_lo] is not None:
+                    apply_ddl(self.table, ddls[b_lo])
+                self.process_range(full_log, b_lo, b_hi, None)
+
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_path)
+        )
+        return (
+            stream.writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def consolidate_span(events: DataFrame, selectors: list[TableSelector], start_scn: int | None) -> tuple[int, int] | None:
+    """[min, max] commit-marker SCN over monitored activity."""
+    from logminer_kafka_connect_spark.operators.filters import filter_markers
+
+    m = filter_markers(events)
+    if start_scn is not None:
+        m = m.filter(F.col("scn") > start_scn)
+    row = m.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return None
+    return row["lo"], row["hi"]

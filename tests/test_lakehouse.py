@@ -1,0 +1,169 @@
+"""SnapshotTable: atomic commits, merge semantics, time travel, evolution."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logminer_kafka_connect_spark.plans.lakehouse import OP_COL, SET_COLS_COL, SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _mk(tmpdir_path, n_buckets=4):
+    return SnapshotTable.create(os.path.join(tmpdir_path, "t"), SCHEMA, ["url"], n_buckets)
+
+
+def _src(spark, rows):
+    schema = T.StructType(
+        SCHEMA.fields
+        + [
+            T.StructField(OP_COL, T.StringType(), False),
+            T.StructField(SET_COLS_COL, T.ArrayType(T.StringType()), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_create_read_empty(spark, tmpdir_path):
+    t = _mk(tmpdir_path)
+    assert t.current_version() == 0
+    assert t.read(spark).count() == 0
+
+
+def test_merge_insert_update_delete(spark, tmpdir_path):
+    t = _mk(tmpdir_path)
+    t.merge(
+        spark,
+        _src(
+            spark,
+            [
+                Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None}),
+                Row(url="u2", lang="de", n=2, **{OP_COL: "u", SET_COLS_COL: None}),
+            ],
+        ),
+        batch_id="b1",
+    )
+    state = {r["url"]: r for r in t.read(spark).collect()}
+    assert state["u1"]["lang"] == "en" and state["u2"]["n"] == 2
+
+    # partial update: only 'n' set -> lang kept; delete u2
+    t.merge(
+        spark,
+        _src(
+            spark,
+            [
+                Row(url="u1", lang=None, n=10, **{OP_COL: "u", SET_COLS_COL: ["n"]}),
+                Row(url="u2", lang=None, n=None, **{OP_COL: "d", SET_COLS_COL: None}),
+                Row(url="u3", lang=None, n=3, **{OP_COL: "u", SET_COLS_COL: ["n"]}),
+            ],
+        ),
+        batch_id="b2",
+    )
+    state = {r["url"]: r for r in t.read(spark).collect()}
+    assert set(state) == {"u1", "u3"}
+    assert state["u1"]["lang"] == "en"  # un-set column kept (P4)
+    assert state["u1"]["n"] == 10
+    assert state["u3"]["lang"] is None  # insert-via-partial-update
+
+
+def test_explicit_null_update(spark, tmpdir_path):
+    """Issue14: SET lang = NULL must null the column, not keep it."""
+    t = _mk(tmpdir_path)
+    t.merge(spark, _src(spark, [Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None})]), "b1")
+    t.merge(
+        spark,
+        _src(spark, [Row(url="u1", lang=None, n=None, **{OP_COL: "u", SET_COLS_COL: ["lang"]})]),
+        "b2",
+    )
+    r = t.read(spark).collect()[0]
+    assert r["lang"] is None and r["n"] == 1
+
+
+def test_idempotent_batch_replay(spark, tmpdir_path):
+    t = _mk(tmpdir_path)
+    src = _src(spark, [Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None})])
+    s1 = t.merge(spark, src, batch_id="b1")
+    v1 = t.current_version()
+    s2 = t.merge(
+        spark,
+        _src(spark, [Row(url="u1", lang="XX", n=99, **{OP_COL: "u", SET_COLS_COL: None})]),
+        batch_id="b1",  # same id -> no-op (exactly-once)
+    )
+    assert s1.applied and not s2.applied
+    assert t.current_version() == v1
+    assert t.read(spark).collect()[0]["lang"] == "en"
+
+
+def test_time_travel(spark, tmpdir_path):
+    t = _mk(tmpdir_path)
+    t.merge(spark, _src(spark, [Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None})]), "b1")
+    v1 = t.current_version()
+    t.merge(spark, _src(spark, [Row(url="u1", lang="de", n=2, **{OP_COL: "u", SET_COLS_COL: None})]), "b2")
+    assert t.read(spark, version=v1).collect()[0]["lang"] == "en"
+    assert t.read(spark).collect()[0]["lang"] == "de"
+
+
+def test_bucket_pruning_only_rewrites_affected(spark, tmpdir_path):
+    t = _mk(tmpdir_path, n_buckets=8)
+    rows = [Row(url=f"u{i}", lang="en", n=i, **{OP_COL: "u", SET_COLS_COL: None}) for i in range(64)]
+    t.merge(spark, _src(spark, rows), "b1")
+    meta1 = t.metadata()
+    stats = t.merge(
+        spark,
+        _src(spark, [Row(url="u1", lang="zz", n=0, **{OP_COL: "u", SET_COLS_COL: None})]),
+        "b2",
+    )
+    assert stats.affected_buckets == 1
+    meta2 = t.metadata()
+    unchanged = [b for b in meta1["buckets"] if meta1["buckets"][b] == meta2["buckets"].get(b)]
+    assert len(unchanged) >= 7  # untouched buckets carried by reference
+    assert t.read(spark).count() == 64
+
+
+def test_add_column_with_default_and_rename(spark, tmpdir_path):
+    """ChangingTableTest semantics: old rows show the default; explicit
+    nulls written after the add stay null; rename is metadata-only."""
+    t = _mk(tmpdir_path)
+    t.merge(spark, _src(spark, [Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None})]), "b1")
+    t.add_column("status", T.IntegerType(), default=200)
+    df = t.read(spark)
+    assert df.collect()[0]["status"] == 200  # initial default for old files
+
+    src2 = spark.createDataFrame(
+        [("u2", "de", 2, None, "u", None)],
+        T.StructType(
+            SCHEMA.fields
+            + [
+                T.StructField("status", T.IntegerType(), True),
+                T.StructField(OP_COL, T.StringType(), False),
+                T.StructField(SET_COLS_COL, T.ArrayType(T.StringType()), True),
+            ]
+        ),
+    )
+    t.merge(spark, src2, "b2")
+    state = {r["url"]: r for r in t.read(spark).collect()}
+    assert state["u2"]["status"] is None  # explicit null post-add stays null
+    assert state["u1"]["status"] == 200
+
+    t.rename_column("status", "http_status")
+    state = {r["url"]: r for r in t.read(spark).collect()}
+    assert state["u1"]["http_status"] == 200
+    assert "status" not in t.read(spark).columns
+
+
+def test_atomic_pointer_snapshot_isolation(spark, tmpdir_path):
+    """SelectSourceTest.kt:76-101 analog: a reader planning from version k
+    never sees rows committed after k."""
+    t = _mk(tmpdir_path)
+    t.merge(spark, _src(spark, [Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None})]), "b1")
+    snap = t.read(spark, version=t.current_version())
+    t.merge(spark, _src(spark, [Row(url="u2", lang="de", n=2, **{OP_COL: "u", SET_COLS_COL: None})]), "b2")
+    assert snap.count() == 1  # no dirty read
