@@ -76,7 +76,19 @@ def consolidate(
         markers = markers.filter(F.col("scn") >= commit_lo)
     if commit_hi is not None:
         markers = markers.filter(F.col("scn") < commit_hi)
+    return consolidate_with_markers(events, selectors, markers, commit_hi, change_lo)
 
+
+def consolidate_with_markers(
+    events: DataFrame,
+    selectors: list[TableSelector],
+    markers: DataFrame,
+    commit_hi: int | None = None,
+    change_lo: int | None = None,
+) -> DataFrame:
+    """Consolidate against an explicit marker set (streaming front-end:
+    each trigger applies exactly the markers it delivered — exactly-once
+    per marker via the file-source WAL — rather than an SCN range)."""
     commits = (
         markers.filter(F.col("op_code") == OP_COMMIT)
         .select("xid", F.col("scn").alias("commit_scn"))

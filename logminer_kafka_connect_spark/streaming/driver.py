@@ -39,9 +39,14 @@ from logminer_kafka_connect_spark.operators.apply import (
 )
 from logminer_kafka_connect_spark.operators.consolidate import (
     consolidate,
+    consolidate_with_markers,
     open_txn_watermark,
 )
-from logminer_kafka_connect_spark.operators.filters import TableSelector, filter_ddl
+from logminer_kafka_connect_spark.operators.filters import (
+    TableSelector,
+    filter_ddl,
+    filter_markers,
+)
 from logminer_kafka_connect_spark.plans.lakehouse import SnapshotTable
 from logminer_kafka_connect_spark.plans.lineage import LineageLog
 from logminer_kafka_connect_spark.streaming.ddl import DdlEvent, apply_ddl, parse_ddl
@@ -189,6 +194,50 @@ class ReplayDriver:
         )
 
     # ---------------------------------------------------------- streaming
+    def process_markers(
+        self,
+        full_log: DataFrame,
+        markers: DataFrame,
+        batch_id: str,
+        commit_hi: int | None = None,
+    ) -> dict:
+        """Apply exactly the transactions whose COMMIT/ROLLBACK marker is in
+        ``markers`` (streaming path — exactly-once per marker, since the
+        file source delivers each event file exactly once per checkpoint)."""
+        if batch_id in self.lineage.applied_batch_ids():
+            return {"batch_id": batch_id, "skipped": True}
+        t0 = time.time()
+        committed = consolidate_with_markers(full_log, self.selectors, markers, commit_hi)
+        n_changes = 0
+        n_parse_errors = 0
+        part_df = None
+        if batch_id not in self.table.applied_batch_ids():
+            parsed = parse_committed(committed).persist()
+            if self.track_parse_errors:
+                n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
+            good = parsed.filter(F.col("parse_error").isNull())
+            if self.track_partition_lineage:
+                part_df = partition_lineage(good, batch_id)
+            source = build_merge_source(
+                good, self.table.schema(), key_col=self.key_col, db_timezone=self.db_timezone
+            )
+            stats = self.table.merge(self.spark, source, batch_id=batch_id)
+            n_changes = stats.source_rows
+            parsed.unpersist()
+        span = markers.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
+        record = {
+            "batch_id": batch_id,
+            "scn_lo": span["lo"],
+            "scn_hi": span["hi"],
+            "commit_watermark": None,
+            "n_net_rows": n_changes,
+            "n_parse_errors": n_parse_errors,
+            "table_version": self.table.current_version(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        self.lineage.record_batch(record, partition_df=part_df)
+        return record
+
     def run_streaming(
         self,
         events_path: str,
@@ -198,42 +247,69 @@ class ReplayDriver:
         start_scn: int | None = None,
     ):
         """Structured Streaming front-end: the event directory is the
-        unbounded source; each trigger's marker set defines the commit
-        range; member changes are re-scanned from the full log (T2 without
-        operator state). ``Trigger.AvailableNow`` semantics via
-        ``availableNow=True`` drain the log and stop."""
-        from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA, OP_COMMIT, OP_ROLLBACK
+        unbounded source; each trigger applies exactly the commit/rollback
+        markers it delivered, re-scanning member changes from the full log
+        (T2 hold-back without operator state — a change whose COMMIT hasn't
+        arrived yet simply waits for the trigger that delivers it).
+        Exactly-once: the file-source WAL delivers each marker once; a
+        crash-replayed epoch reuses its epoch id, and the lineage/table
+        batch-id guard makes the re-application a no-op.
+
+        Assumes the log is written in roughly SCN order (true for a CDC
+        tail); DDL events are applied at their position within the trigger.
+        ``Trigger.AvailableNow`` drains the log and stops."""
+        from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA
 
         spark = self.spark
         if full_log is None:
             full_log = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            markers = (
-                batch_df.filter(F.col("op_code").isin(OP_COMMIT, OP_ROLLBACK, 5))
-                .agg(F.min("scn").alias("lo"), F.max("scn").alias("hi"))
-                .collect()[0]
-            )
-            if markers["lo"] is None:
-                return
-            lo, hi = markers["lo"], markers["hi"] + 1
+            markers_all = filter_markers(batch_df)
             if start_scn is not None:
-                lo = max(lo, start_scn + 1)
-                if lo >= hi:
-                    return
-            ddl_rows = (
-                filter_ddl(batch_df, self.selectors)
-                .filter((F.col("scn") >= lo) & (F.col("scn") < hi))
-                .select("scn", "sql_redo")
-                .collect()
-            )
-            bounds = sorted({lo, hi} | {r["scn"] for r in ddl_rows})
-            ddls = {r["scn"]: parse_ddl(r["scn"], r["sql_redo"]) for r in ddl_rows}
-            for i in range(len(bounds) - 1):
-                b_lo, b_hi = bounds[i], bounds[i + 1]
-                if b_lo in ddls and ddls[b_lo] is not None:
-                    apply_ddl(self.table, ddls[b_lo])
-                self.process_range(full_log, b_lo, b_hi, None)
+                markers_all = markers_all.filter(F.col("scn") > start_scn)
+            markers_all = markers_all.persist()
+            try:
+                # In-order contract: last-write-wins across triggers requires
+                # commit markers to arrive in (roughly) SCN order — true for
+                # a CDC tail appended in SCN order. Detect violations loudly
+                # instead of silently applying stale images.
+                prev = self.lineage.last_batch()
+                if prev and prev.get("scn_lo") is not None:
+                    lo_row = markers_all.agg(F.min("scn").alias("lo")).collect()[0]
+                    if lo_row["lo"] is not None and lo_row["lo"] < prev["scn_lo"]:
+                        raise RuntimeError(
+                            f"out-of-order commit markers: trigger min scn "
+                            f"{lo_row['lo']} < previously applied batch lo "
+                            f"{prev['scn_lo']}; the event log must be "
+                            f"appended in SCN order"
+                        )
+                ddl_rows = (
+                    filter_ddl(batch_df, self.selectors).select("scn", "sql_redo").collect()
+                )
+                ddls = sorted(
+                    (e for e in (parse_ddl(r["scn"], r["sql_redo"]) for r in ddl_rows) if e),
+                    key=lambda e: e.scn,
+                )
+                # sub-batches split at DDL positions: markers below the DDL
+                # commit first, then the ALTER, then the rest (T9 ordering)
+                bounds = [e.scn for e in ddls]
+                lo = None
+                for k, b in enumerate(bounds + [None]):
+                    m = markers_all
+                    if lo is not None:
+                        m = m.filter(F.col("scn") >= lo)
+                    if b is not None:
+                        m = m.filter(F.col("scn") < b)
+                    if m.limit(1).count() > 0:
+                        self.process_markers(
+                            full_log, m, f"stream-{epoch_id}-{k}", commit_hi=b
+                        )
+                    if b is not None:
+                        apply_ddl(self.table, ddls[k])
+                    lo = b
+            finally:
+                markers_all.unpersist()
 
         stream = (
             spark.readStream.schema(EVENT_SCHEMA)

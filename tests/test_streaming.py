@@ -1,0 +1,84 @@
+"""Structured Streaming front-end: readStream over the event log +
+foreachBatch apply, with checkpoint restart (T1/T5)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from logminer_kafka_connect_spark.engine import CdcEngine
+from logminer_kafka_connect_spark.sources.generator import SCN0, CdcGenerator, GeneratorConfig
+from tests.test_replay_e2e import _assert_state_equal
+
+
+def _write_event_log(spark, gen, path, n_files=6):
+    """A CDC tail is appended in SCN order; emulate with range-partitioned,
+    scn-sorted files given strictly increasing mtimes (the file source
+    orders by modification time)."""
+    import time as _time
+
+    (
+        gen.events_df(spark)
+        .repartitionByRange(n_files, "scn")
+        .sortWithinPartitions("scn", "row_id", "seq")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    now = _time.time()
+    parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(path, f), (now + i, now + i))
+
+
+def test_streaming_available_now(spark, tmpdir_path):
+    cfg = GeneratorConfig(seed=37, n_txns=80, n_urls=120, n_snapshot=40)
+    gen = CdcGenerator(cfg)
+    events_path = os.path.join(tmpdir_path, "events")
+    _write_event_log(spark, gen, events_path)
+
+    engine = CdcEngine(spark, tmpdir_path, n_buckets=8)
+    engine.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+
+    q = engine.run_streaming(
+        events_path,
+        os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    _assert_state_equal(
+        engine.state().toPandas(), gen.expected_final_state(include_snapshot=True)
+    )
+
+
+def test_streaming_restart_from_checkpoint(spark, tmpdir_path):
+    """Kill after a partial drain; restart must finish without duplicates
+    (streaming WAL + idempotent merges)."""
+    cfg = GeneratorConfig(seed=41, n_txns=60, n_urls=100, n_snapshot=30)
+    gen = CdcGenerator(cfg)
+    events_path = os.path.join(tmpdir_path, "events")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    _write_event_log(spark, gen, events_path, n_files=8)
+
+    engine = CdcEngine(spark, tmpdir_path, n_buckets=8)
+    engine.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+
+    # phase 1: drain at most a couple of triggers, then stop mid-stream
+    q = engine.run_streaming(events_path, ckpt, max_files_per_trigger=2)
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline and not engine.lineage.batches():
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the checkpoint; must converge to the oracle
+    engine2 = CdcEngine(spark, tmpdir_path, n_buckets=8)
+    q2 = engine2.run_streaming(events_path, ckpt, max_files_per_trigger=2)
+    q2.awaitTermination(300)
+
+    _assert_state_equal(
+        engine2.state().toPandas(), gen.expected_final_state(include_snapshot=True)
+    )
