@@ -1,0 +1,227 @@
+"""Deduplication operators over a documents table.
+
+Scale notes (the point of each design):
+
+- **exact**: one hash-aggregate on ``md5(text)`` — map-side partial agg,
+  no pairwise work. O(n) shuffle of (hash, id).
+- **MinHash + LSH**: signatures via per-shingle ``md5`` minima (k
+  independent orderings from salted hashes), banded into buckets; only
+  documents sharing a band bucket are pair-joined. Pair candidates scale
+  with bucket collision rate, not n² — the standard web-dedup shape
+  (Broder; see PAPERS.md). The band join is a shuffle on (band, key)
+  with AQE skew splitting for pathological buckets.
+- **SimHash**: 16-bit signature by hex-nibble voting; near-dups share the
+  signature (or a small Hamming ball — here: exact signature buckets).
+  One explode + one aggregation; no joins.
+- **n-gram Jaccard**: exact verification used on LSH candidates (and
+  directly at small scale): |A∩B| via a shingle-level self-join restricted
+  to candidate pairs, |A∪B| from per-doc distinct counts.
+
+All hashes are ``md5`` so a DuckDB oracle reproduces results exactly
+(xxhash64 exists only on the Spark side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def words_expr(text_col: str):
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def shingles_expr(text_col: str, k: int = 3):
+    """Distinct word k-gram shingles of a document (order-preserving)."""
+    w = words_expr(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_hash, keeper = min id, n_dups)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature: h_i(doc) = min over shingles of md5(i || '|' || s).
+
+    Salted md5 gives k independent uniform orderings; the min over a set is
+    a valid permutation-minhash estimator. One explode + one grouped agg.
+    """
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkey")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (all co-shingled pairs
+    when ``pairs`` is None — the brute n-gram dedup path at small scale)."""
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))  # shingles distinct already
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: signatures -> banded candidates -> exact-Jaccard
+    verification. Returns verified near-dup pairs (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_k, threshold)
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash by per-word md5 hex-nibble voting.
+
+    Bit j is set when the sum over word occurrences of ±1 (nibble j of
+    md5(word) >= 8) is positive. Identical signatures bucket near-dups.
+    """
+    w = df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
+    h = w.withColumn("h", F.md5("word"))
+    votes = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("0123456789abcdef"), F.substring("h", j + 1, 1)) >= 9,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.cast("int").alias("simhash"))
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force — see similarity.py for
+    the LSH-bucketed scale path)."""
+    from logminer_kafka_connect_spark.operators.textops.similarity import (
+        with_norm,
+        cosine_expr,
+    )
+
+    a = with_norm(emb, id_col, vec_col).alias("a")
+    b = with_norm(emb, id_col, vec_col).alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cosine", F.round(cosine_expr("a", "b", vec_col), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video columns are ``binary`` with a metadata struct; decode /
+feature-extraction runs in ``mapInPandas`` (Arrow batch iterator — the
+shape real decoders need: per-batch amortized model/codec setup, bounded
+batch memory). The actual codecs are NOT in this container, so the decoder
+is stubbed: ``use_real_decoder=True`` raises ``NotImplementedError`` at the
+call site, while the default deterministic fake produces byte-statistics
+features so the Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) is fully real and testable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def attach_media_columns(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize an opaque binary payload + metadata struct from text
+    (stand-in for a real image/audio column; deterministic)."""
+    payload = F.encode(F.col(text_col), "utf-8").cast("binary")
+    meta = F.struct(
+        F.lit("image/fake").alias("media_type"),
+        (F.length(text_col) % 640).cast("int").alias("width"),
+        (F.length(text_col) % 480).cast("int").alias("height"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    return df.select(F.col(id_col), payload.alias("media"), meta.alias("media_meta"))
+
+
+def _fake_decode(payload: bytes) -> dict:
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    hist = np.bincount(arr, minlength=256).astype(np.float64)
+    p = hist / hist.sum()
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    feat = hist[:16] / max(len(arr), 1)
+    return {
+        "n_bytes": int(len(arr)),
+        "byte_mean": float(arr.mean()),
+        "byte_entropy": round(entropy, 6),
+        "feature": [float(x) for x in feat],
+    }
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Decode/feature-extract over Arrow batches (``mapInPandas``).
+
+    Real decode (PIL/ffmpeg/torchaudio) is unavailable in this image —
+    stubbed per the build contract; the deterministic fake exercises the
+    identical distributed plumbing.
+    """
+    if use_real_decoder:
+        raise NotImplementedError(
+            "real media decoding requires image/audio codecs not present in "
+            "this environment; plug a decoder into _fake_decode's slot"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(b) for b in pdf[media_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(run, FEATURE_SCHEMA)

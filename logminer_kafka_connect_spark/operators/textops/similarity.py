@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run JVM-side via ``aggregate(zip_with(...))`` inside
+  whole-stage codegen; the q×n pair space is a (broadcast) join, so it
+  distributes, but it is O(q·n) — fine for re-ranking, not for full ANN.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH. A
+  deterministic seeded hyperplane matrix (generated per executor from the
+  seed, numpy) signs each vector into a bucket via one Arrow-vectorized
+  pandas UDF; candidates are co-bucketed vectors (multi-probe via several
+  independent tables), exact cosine re-ranks within buckets. Pair work
+  scales with bucket occupancy, not n².
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return emb.select(F.col(id_col), F.col(vec_col), norm.alias("_norm"))
+
+
+def cosine_expr(a: str, b: str, vec_col: str):
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"{a}.{vec_col}"),
+            F.col(f"{b}.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(f"{a}._norm") * F.col(f"{b}._norm"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+
+    ``queries`` is broadcast (the small side); candidates stream past it,
+    ranked with one window per query id.
+    """
+    q = with_norm(queries, id_col, vec_col).alias("q")
+    c = with_norm(emb, id_col, vec_col).alias("c")
+    scored = (
+        c.join(F.broadcast(q), F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
+        .withColumn("cosine", F.round(cosine_expr("q", "c", vec_col), 6))
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(seed: int, n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+
+
+def bucket_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, table, bucket) — random-hyperplane signs per LSH table.
+
+    The hyperplane matrix is regenerated deterministically from ``seed``
+    inside each Arrow batch (no driver-side broadcast payload needed).
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        planes = _hyperplanes(seed, n_tables, n_planes, dim)
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        out = []
+        signs = (np.einsum("tpd,bd->tbp", planes, mat) > 0).astype(np.int64)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        buckets = (signs * weights).sum(axis=2)  # (tables, batch)
+        for b in range(mat.shape[0]):
+            out.append([int(buckets[t, b]) for t in range(n_tables)])
+        return pd.Series(out)
+
+    sig = emb.select(F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("sigs"))
+    return sig.select(
+        id_col,
+        vec_col,
+        F.posexplode("sigs"),
+    ).withColumnsRenamed({"pos": "table", "col": "bucket"})
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_tables: int = 4,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any LSH bucket with
+    the query in any table; exact cosine re-rank within candidates."""
+    dim = len(emb.select(vec_col).first()[0])
+    cb = bucket_signatures(emb, id_col, vec_col, seed, n_tables, n_planes, dim)
+    qb = bucket_signatures(queries, id_col, vec_col, seed, n_tables, n_planes, dim)
+
+    cands = (
+        qb.alias("q")
+        .join(
+            cb.alias("c"),
+            (F.col("q.table") == F.col("c.table"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col(f"q.{id_col}") != F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"q.{vec_col}").alias("qv"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.col(f"c.{vec_col}").alias("cv"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    scored = cands.withColumn("cosine", F.round(dot / (norm("qv") * norm("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
