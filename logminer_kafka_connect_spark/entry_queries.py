@@ -1,0 +1,677 @@
+"""Driver-contract query suite: one entry per SURVEY.md §2 operator family,
+each as (PySpark callable, DuckDB oracle SQL) over the driver's testdata
+tables. Column names/types are aligned pair-by-pair (sums rounded to absorb
+summation-order fp differences; counts cast to bigint on the Spark side).
+
+The CDC engine itself is exercised by the ``cdc_replay`` entry (rows-only:
+its semantics are the replay fixtures' job, tests/test_replay_e2e.py — a
+SQL oracle cannot express a multi-batch MERGE lifecycle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logminer_kafka_connect_spark.operators.textops import dedup as D
+from logminer_kafka_connect_spark.operators.textops import quality as Q
+from logminer_kafka_connect_spark.operators.textops import similarity as S
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# 1. Scan + aggregation (S1/A* family): TPC-H Q1-shaped pricing summary
+# --------------------------------------------------------------------------
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_extendedprice), 4)                             AS avg_price,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Predicate pushdown stack (F1-F6 analog)
+# --------------------------------------------------------------------------
+@_q(
+    "f02_predicate_stack",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value_r
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND value BETWEEN 50 AND 150
+      AND user_id % 7 <> 0
+      AND props NOT LIKE '%"k": 13%'
+    """,
+)
+def f02(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").between(50, 150)
+        & (F.col("user_id") % 7 != 0)
+        & ~F.col("props").like('%"k": 13%')
+    ).select("event_id", "user_id", "event_type", F.round("value", 2).alias("value_r"))
+
+
+# --------------------------------------------------------------------------
+# 3. J1 commit join analog: changes joined to their txn-terminator set
+# --------------------------------------------------------------------------
+@_q(
+    "j03_commit_join",
+    """
+    SELECT c.user_id, count(*) AS n_changes, round(sum(c.value), 2) AS total_value
+    FROM events c
+    JOIN (SELECT user_id, min(event_id) AS commit_id
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+      ON c.user_id = p.user_id
+    WHERE c.event_type IN ('click', 'view')
+    GROUP BY c.user_id
+    """,
+)
+def j03(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    commits = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("commit_id"))
+    )
+    return (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .join(F.broadcast(commits), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. J2 rollback anti-join analog
+# --------------------------------------------------------------------------
+@_q(
+    "j04_rollback_anti",
+    """
+    SELECT c.user_id, count(*) AS n_kept
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (SELECT 1 FROM events r
+                      WHERE r.event_type = 'error' AND r.value > 190
+                        AND r.user_id = c.user_id)
+    GROUP BY c.user_id
+    """,
+)
+def j04(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    rollbacks = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .join(rollbacks, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. A6 last-write-wins ranking window
+# --------------------------------------------------------------------------
+@_q(
+    "a05_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value_r
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def a05(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value_r"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. P1 CSF reassembly analog: ordered string concat per group
+# --------------------------------------------------------------------------
+@_q(
+    "p06_ordered_concat",
+    """
+    SELECT user_id,
+           string_agg(event_type, '' ORDER BY ts, event_id) AS chain,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def p06(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    parts = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return ev.groupBy("user_id").agg(
+        F.concat_ws("", F.expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")).alias("chain"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. A1/A2/A3 watermark + txn-stat aggregations
+# --------------------------------------------------------------------------
+@_q(
+    "a07_watermark_bounds",
+    """
+    SELECT event_type,
+           min(event_id) AS min_id, max(event_id) AS max_id,
+           count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a07(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. U1 union + dedup
+# --------------------------------------------------------------------------
+@_q(
+    "u08_union_dedup",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE value > 180
+    """,
+)
+def u08(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("value") > 180).select("user_id")
+    return a.union(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# 9. Scalar function ladder (C1-C8): casts, nullif, regexp, date parts
+# --------------------------------------------------------------------------
+@_q(
+    "c09_scalar_ladder",
+    """
+    SELECT l_orderkey, l_linenumber,
+           cast(l_quantity AS BIGINT)                         AS qty_int,
+           cast(round(l_extendedprice, 0) AS BIGINT)          AS price_int,
+           nullif(l_returnflag, 'N')                          AS flag_nulled,
+           regexp_replace(l_returnflag || '/' || l_linestatus,
+                          '[^A-Za-z0-9._-]', '_', 'g')        AS sanitized,
+           cast(l_shipdate AS DATE)                           AS ship_date,
+           year(l_shipdate)                                   AS ship_year,
+           cast(floor(l_discount * 100) AS INT)               AS disc_pct
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def c09(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.round("l_extendedprice", 0).cast("bigint").alias("price_int"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_nulled"),
+        F.regexp_replace(
+            F.concat_ws("/", "l_returnflag", "l_linestatus"), "[^A-Za-z0-9._-]", "_"
+        ).alias("sanitized"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.floor(F.col("l_discount") * 100).cast("int").alias("disc_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 10. O-family: top-k per group (ordered consumption analog)
+# --------------------------------------------------------------------------
+@_q(
+    "o10_topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           round(l_extendedprice, 2) AS price
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+          FROM lineitem)
+    WHERE rn <= 3
+    """,
+)
+def o10(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 11. S2 snapshot as-of analog: consistent cut + op='r' envelope
+# --------------------------------------------------------------------------
+@_q(
+    "s11_snapshot_asof",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total, 'r' AS op
+    FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-17 00:00:00'
+    """,
+)
+def s11(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") <= "1995-06-17")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 2).alias("total"), F.lit("r").alias("op"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 12. S3 multi-table snapshot union
+# --------------------------------------------------------------------------
+@_q(
+    "s12_multitable_union",
+    """
+    SELECT 'customer' AS src, c_custkey AS id, c_name AS name, c_nationkey AS nk
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name, s_nationkey AS nk
+    FROM supplier
+    """,
+)
+def s12(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return c.unionByName(s)
+
+
+# --------------------------------------------------------------------------
+# 13. J-family broadcast star join (dictionary lookup analog, J4/J5)
+# --------------------------------------------------------------------------
+@_q(
+    "j13_dim_lookup",
+    """
+    SELECT n.n_name, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j13(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (documents)
+# --------------------------------------------------------------------------
+@_q(
+    "d14_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d14(spark, sf_dir):
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+def _shingle_cte(k: int, where: str = "") -> str:
+    return f"""
+    w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents {where}),
+    sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= {k}
+               THEN list_distinct([array_to_string(ws[i:i+{k-1}], ' ')
+                                   FOR i IN range(1, len(ws) - {k - 2})])
+               ELSE [array_to_string(ws, ' ')] END) AS shingle
+           FROM w)
+    """
+
+
+_N_HASHES, _N_BANDS = 12, 4
+_MH_COLS = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(_N_HASHES)
+)
+_BAND_SELECTS = "\n UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(f"mh{b * 3 + r}" for r in range(3)),
+    )
+    for b in range(_N_BANDS)
+)
+
+@_q(
+    "d15_minhash_lsh",
+    f"""
+    WITH {_shingle_cte(3, "WHERE doc_id < 200")},
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bucket AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bucket a JOIN bucket b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes na ON na.doc_id = c.id_a
+    JOIN sizes nb ON nb.doc_id = c.id_b
+    WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.5
+    """,
+)
+def d15(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.minhash_lsh_dedup(docs, n_hashes=_N_HASHES, n_bands=_N_BANDS, threshold=0.5)
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {j + 1}, 1)) >= 9 "
+    f"THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(16)
+)
+_SIMHASH_BITS = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+
+@_q(
+    "d16_simhash",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+               FROM documents WHERE doc_id < 200),
+    h AS (SELECT doc_id, md5(word) AS h FROM w),
+    v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+    SELECT doc_id, cast({_SIMHASH_BITS} AS INT) AS simhash FROM v
+    """,
+)
+def d16(spark, sf_dir):
+    return D.simhash16(t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+
+
+@_q(
+    "d17_ngram_jaccard",
+    f"""
+    WITH {_shingle_cte(3, "WHERE doc_id < 120")},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = id_a
+               JOIN sizes nb ON nb.doc_id = id_b
+    WHERE round(n_inter / (na.n + nb.n - n_inter), 6) >= 0.02
+    """,
+)
+def d17(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.jaccard_pairs(docs, threshold=0.02)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+@_q(
+    "n18_cosine_topk",
+    """
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(q.embedding,
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.embedding,
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))), 6) AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3
+    """,
+)
+def n18(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, q, k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@_q(
+    "t19_token_stats",
+    f"""
+    SELECT doc_id,
+      cast(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_ws_tokens,
+      cast(len(regexp_extract_all(text, '{Q.TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+      cast(length(text) AS BIGINT) AS n_chars,
+      round(list_aggregate(list_transform(
+          string_split_regex(trim(lower(text)), '\\s+'), x -> length(x)), 'sum')
+        / len(string_split_regex(trim(lower(text)), '\\s+')), 4) AS avg_word_len
+    FROM documents
+    """,
+)
+def t19(spark, sf_dir):
+    out = Q.token_stats(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "avg_word_len",
+    )
+
+
+_LANG_SCORES_SQL = ", ".join(
+    "cast(len(list_filter(ws, x -> x IN ({vals}))) AS BIGINT) AS score_{lang}".format(
+        lang=lang, vals=", ".join(f"'{w}'" for w in markers)
+    )
+    for lang, markers in Q.LANG_MARKERS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in Q.LANG_MARKERS) + ")"
+_LANG_PRED = (
+    "CASE WHEN " + _LANG_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_LANG_BEST} THEN '{lang}'"
+        for lang in sorted(Q.LANG_MARKERS)
+    )
+    + " ELSE 'und' END"
+)
+
+@_q(
+    "t20_language_id",
+    f"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, {_LANG_SCORES_SQL} FROM w)
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in Q.LANG_MARKERS)},
+           {_LANG_PRED} AS pred_lang
+    FROM s
+    """,
+)
+def t20(spark, sf_dir):
+    out = Q.language_id(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in Q.LANG_MARKERS],
+        "pred_lang",
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in Q.STOPWORDS)
+
+@_q(
+    "t21_quality_score",
+    f"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(ws) AS n_words,
+                 len(list_filter(ws, x -> x IN ({_STOP_SQL}))) / len(ws) AS stop_ratio,
+                 list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+                   / len(ws) AS awl
+          FROM w)
+    SELECT doc_id, cast(n_words AS BIGINT) AS n_words,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(awl, 6) AS avg_word_len,
+           round(((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                + least(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+    FROM m
+    """,
+)
+def t21(spark, sf_dir):
+    out = Q.quality_score(t(spark, sf_dir, "documents"))
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+@_q(
+    "t22_fingerprint",
+    f"""
+    WITH {_shingle_cte(5)}
+    SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+    """,
+)
+def t22(spark, sf_dir):
+    return Q.doc_fingerprint(t(spark, sf_dir, "documents"), shingle_k=5)
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (no SQL-expressible oracle): CDC replay, LSH ANN,
+# multimodal features
+# --------------------------------------------------------------------------
+@_q("cdc_replay")
+def cdc_replay(spark, sf_dir):
+    """Flagship: full CDC replay (generator -> consolidate -> parse ->
+    net-effect -> MERGE) sized by scale factor; returns the final table
+    state. Correctness is pinned by the replay fixtures (independent
+    pandas oracle) in tests/test_replay_e2e.py."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.engine import CdcEngine
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+
+    sf = "0.001" if "0.001" in sf_dir else ("0.01" if "0.01" in sf_dir else "0.1")
+    n_txns = {"0.001": 60, "0.01": 300, "0.1": 1500}[sf]
+    gen = CdcGenerator(
+        GeneratorConfig(seed=42, n_txns=n_txns, n_urls=n_txns * 2, n_snapshot=n_txns)
+    )
+    workdir = tempfile.mkdtemp(prefix="lmkc-entry-")
+    engine = CdcEngine(spark, workdir, n_buckets=16)
+    engine.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    engine.replay(gen.events_df(spark), n_batches=4)
+    state = engine.state()
+    return state.select(
+        "url",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        "lang",
+    )
+
+
+@_q("ann_lsh_bucketed")
+def ann_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_bucketed_topk(emb, q, k=3, n_tables=6, n_planes=6)
+
+
+@_q("mm_media_features")
+def mm_features(spark, sf_dir):
+    from logminer_kafka_connect_spark.operators.textops.multimodal import (
+        attach_media_columns,
+        extract_media_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return extract_media_features(attach_media_columns(docs))
