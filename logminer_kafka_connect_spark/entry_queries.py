@@ -423,7 +423,7 @@ _BAND_SELECTS = "\n UNION ALL ".join(
 @_q(
     "d15_minhash_lsh",
     f"""
-    WITH {_shingle_cte(3, "WHERE doc_id < 200")},
+    WITH {_shingle_cte(3, "WHERE doc_id < 2000")},
     sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
     bucket AS ({_BAND_SELECTS}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -440,12 +440,12 @@ _BAND_SELECTS = "\n UNION ALL ".join(
     JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
     JOIN sizes na ON na.doc_id = c.id_a
     JOIN sizes nb ON nb.doc_id = c.id_b
-    WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.5
+    WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.2
     """,
 )
 def d15(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return D.minhash_lsh_dedup(docs, n_hashes=_N_HASHES, n_bands=_N_BANDS, threshold=0.5)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return D.minhash_lsh_dedup(docs, n_hashes=_N_HASHES, n_bands=_N_BANDS, threshold=0.2)
 
 
 _SIMHASH_VOTES = ", ".join(

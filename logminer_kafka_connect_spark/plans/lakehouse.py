@@ -311,8 +311,9 @@ class SnapshotTable:
         src = source.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
         src = src.persist()
         try:
-            affected = [r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect()]
-            n_src = src.count()
+            per_bucket = src.groupBy(BUCKET_COL).count().collect()
+            affected = [r[BUCKET_COL] for r in per_bucket]
+            n_src = sum(r["count"] for r in per_bucket)
             target = self.read_buckets(spark, affected).withColumn(
                 BUCKET_COL, _bucket_expr(key_cols, n_buckets)
             )

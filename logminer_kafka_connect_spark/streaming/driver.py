@@ -72,6 +72,7 @@ class ReplayDriver:
         db_timezone: str = "UTC",
         track_parse_errors: bool = True,
         track_partition_lineage: bool = True,
+        track_watermark: bool = True,
     ):
         self.spark = spark
         self.table = table
@@ -81,6 +82,7 @@ class ReplayDriver:
         self.db_timezone = db_timezone
         self.track_parse_errors = track_parse_errors
         self.track_partition_lineage = track_partition_lineage
+        self.track_watermark = track_watermark
 
     # ------------------------------------------------------------ one batch
     def process_range(self, events: DataFrame, lo: int, hi: int, change_lo: int | None) -> dict:
@@ -115,12 +117,18 @@ class ReplayDriver:
             if self.track_parse_errors or self.track_partition_lineage:
                 parsed.unpersist()
 
-        watermark, n_open = open_txn_watermark(events, self.selectors, hi)
+        if self.track_watermark:
+            watermark, n_open = open_txn_watermark(events, self.selectors, hi)
+            resume_change_lo = watermark if watermark is not None else hi
+        else:
+            # resume falls back to a full change re-scan (correct, slower)
+            watermark, n_open, resume_change_lo = None, -1, None
         record = {
             "batch_id": batch_id,
             "scn_lo": lo,
             "scn_hi": hi,
             "commit_watermark": watermark,
+            "resume_change_lo": resume_change_lo,
             "n_open_changes": n_open,
             "n_net_rows": n_changes,
             "n_parse_errors": n_parse_errors,
@@ -178,12 +186,11 @@ class ReplayDriver:
             if not rec.get("skipped"):
                 n_applied += rec["n_net_rows"]
                 n_errors += rec["n_parse_errors"]
-                change_lo = rec["commit_watermark"] or hi
+                change_lo = rec["resume_change_lo"]
             else:
-                prior = by_id.get(rec["batch_id"], {})
                 # watermark recorded when this range was first applied;
                 # None (full re-scan) if unavailable — safe, just slower
-                change_lo = prior.get("commit_watermark") or prior.get("scn_hi")
+                change_lo = by_id.get(rec["batch_id"], {}).get("resume_change_lo")
             done += 1
         return ReplayStats(
             n_batches=done,
