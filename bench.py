@@ -92,37 +92,26 @@ def run_headline(results: dict) -> float:
     return total
 
 
-def _replay_once(master: str, events_path: str, snap_path: str, n_events: int) -> float:
-    """One cold end-to-end replay; returns events/sec."""
-    from pyspark.sql import functions as F
+def _replay_once(n_cpus: int, events_path: str, snap_path: str, n_events: int) -> float:
+    """One cold end-to-end replay in a subprocess pinned to exactly
+    ``n_cpus`` CPUs (taskset) — JVM task/GC threads AND pandas-UDF Python
+    workers included, which ``local[N]`` alone does not bound. Returns
+    events/sec."""
+    import subprocess
 
-    from logminer_kafka_connect_spark.engine import CdcEngine
-    from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA
-    from logminer_kafka_connect_spark.sources.generator import SCN0
-
-    cores = int(master.split("[")[1].rstrip("]"))
-    spark = _spark(master, cores)
-    workdir = tempfile.mkdtemp(prefix="lmkc-bench-")
-    try:
-        engine = CdcEngine(spark, workdir, n_buckets=64)
-        engine.driver.track_parse_errors = False
-        engine.driver.track_partition_lineage = False
-        engine.driver.track_watermark = False
-        snap = spark.read.parquet(snap_path)
-        engine.load_snapshot(snap, snapshot_scn=SCN0 - 1)
-        events = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
-        t0 = time.time()
-        stats = engine.replay(events, n_batches=1)
-        wall = time.time() - t0
-        print(
-            f"# replay {master}: {wall:.1f}s, {stats.n_events_applied} net rows, "
-            f"{n_events / wall:.0f} events/s",
-            file=sys.stderr,
-        )
-        return n_events / wall
-    finally:
-        spark.stop()
-        shutil.rmtree(workdir, ignore_errors=True)
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "replay_worker.py")
+    cmd = [sys.executable, worker, str(n_cpus), events_path, snap_path, str(n_events)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n_cpus - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    print(
+        f"# replay {n_cpus}cpu: {r['wall_s']}s, {r['net_rows']} net rows, "
+        f"{r['events_per_sec']:.0f} events/s",
+        file=sys.stderr,
+    )
+    return float(r["events_per_sec"])
 
 
 def run_scaling(results: dict) -> dict:
@@ -170,13 +159,11 @@ def run_scaling(results: dict) -> dict:
     eps_runs: dict[int, list[float]] = {BENCH_N: [], BENCH_N * 4: []}
     for _ in range(2):
         for lvl in (BENCH_N, BENCH_N * 4):
-            eps_runs[lvl].append(
-                _replay_once(f"local[{lvl}]", events_path, snap_path, n_events)
-            )
+            eps_runs[lvl].append(_replay_once(lvl, events_path, snap_path, n_events))
     eps_n = max(eps_runs[BENCH_N])
     eps_4n = max(eps_runs[BENCH_N * 4])
     eps_full = (
-        _replay_once(f"local[{CPUS}]", events_path, snap_path, n_events)
+        _replay_once(CPUS, events_path, snap_path, n_events)
         if CPUS != BENCH_N * 4
         else eps_4n
     )

@@ -659,6 +659,30 @@ def cdc_replay(spark, sf_dir):
     )
 
 
+@_q("cdc_envelope")
+def cdc_envelope(spark, sf_dir):
+    """S6/S7: Debezium-style envelope stream (the reference's actual output
+    format) from a deterministic change-event log; rows-only check."""
+    from logminer_kafka_connect_spark.engine import PAGES_SCHEMA
+    from logminer_kafka_connect_spark.operators.apply import parse_committed
+    from logminer_kafka_connect_spark.operators.consolidate import consolidate
+    from logminer_kafka_connect_spark.operators.envelope import to_envelope
+    from logminer_kafka_connect_spark.sources.generator import CdcGenerator, GeneratorConfig
+
+    gen = CdcGenerator(GeneratorConfig(seed=42, n_txns=120, n_urls=200, n_snapshot=0))
+    committed = consolidate(gen.events_df(spark), [("CRAWL", "PAGES")])
+    parsed = parse_committed(committed).filter(F.col("parse_error").isNull())
+    env = to_envelope(parsed, PAGES_SCHEMA, tombstones=True)
+    return env.select(
+        "key",
+        "op",
+        F.col("source.scn").alias("scn"),
+        F.col("source.txId").alias("tx_id"),
+        F.length(F.col("after.text")).alias("after_text_len"),
+        F.col("after.lang").alias("after_lang"),
+    )
+
+
 @_q("ann_lsh_bucketed")
 def ann_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")

@@ -258,3 +258,84 @@ def with_parsed_images(df, sql_col: str = "sql_redo"):
 def set_cols_expr(img: Column) -> Column:
     """Explicitly-set column names of an image (drives partial-update MERGE)."""
     return F.map_keys(img)
+
+
+# ---------------------------------------------------------------------------
+# Typed-image fast path
+# ---------------------------------------------------------------------------
+#
+# The generic path above emits JSON maps — schema-agnostic, but the payload
+# (hex-encoded html) then travels as text through every shuffle (reassembly,
+# fold, merge). The typed path closes over the *current table schema* and
+# emits a typed struct directly from the UDF: binary columns are hex-decoded
+# in Python (C-speed bytes.fromhex — halves the bytes on the wire), other
+# columns stay normalized strings (cast JVM-side on net rows only). An
+# explicit ``set_cols`` array replaces map-key presence, and the MERGE key
+# is extracted here (F9). Rebuilt per microbatch, so schema evolution (T9)
+# picks up added/renamed columns automatically.
+
+
+def make_typed_parse_udf(fields, key_col: str = "url"):
+    """Build the typed parse UDF for the given table schema fields.
+
+    Returns ``(udf, output_type)`` where output is
+    ``struct<key:string, img:struct<...table cols...>, set_cols:array<string>,
+    parse_error:string>`` — img columns are binary for BinaryType fields,
+    normalized strings otherwise.
+    """
+    from logminer_kafka_connect_spark.sources.events import OP_INSERT
+
+    col_names = [f.name for f in fields]
+    binary_cols = {f.name for f in fields if isinstance(f.dataType, T.BinaryType)}
+    upper_to_lower = {n.upper(): n for n in col_names}
+    key_upper = key_col.upper()
+
+    img_type = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.BinaryType() if f.name in binary_cols else T.StringType(),
+                True,
+            )
+            for f in fields
+        ]
+    )
+    out_type = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("img", img_type, True),
+            T.StructField("set_cols", T.ArrayType(T.StringType()), True),
+            T.StructField("parse_error", T.StringType(), True),
+        ]
+    )
+
+    def _one(sql: str | None, op_code: int):
+        if sql is None:
+            return None, None, None, "null sql_redo"
+        try:
+            before, after = parse_redo_statement(sql)
+        except _ParseError as e:
+            return None, None, None, str(e)
+        key_src = after if op_code == OP_INSERT else before
+        key = (key_src or {}).get(key_upper)
+        vals: dict = {}
+        set_cols: list[str] = []
+        for up, val in (after or {}).items():
+            name = upper_to_lower.get(up)
+            if name is None:
+                continue  # column unknown to the current schema (cf. T9)
+            set_cols.append(name)
+            if name in binary_cols:
+                vals[name] = bytes.fromhex(val) if val is not None else None
+            else:
+                vals[name] = val
+        # fixed key order: Arrow struct conversion is positional per batch
+        img = {name: vals.get(name) for name in col_names}
+        return key, img, set_cols, None
+
+    @F.pandas_udf(out_type)
+    def typed_parse_udf(sql_redo: pd.Series, op_code: pd.Series) -> pd.DataFrame:
+        rows = [_one(s, int(o)) for s, o in zip(sql_redo, op_code)]
+        return pd.DataFrame(rows, columns=["key", "img", "set_cols", "parse_error"])
+
+    return typed_parse_udf, out_type

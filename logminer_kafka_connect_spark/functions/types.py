@@ -116,8 +116,13 @@ class ColumnSpec:
 
 
 def decode_image_map(img: Column, fields: list[T.StructField], db_timezone: str = "UTC") -> list[Column]:
-    """Project a parsed ``map<string,string>`` image into typed columns."""
+    """Project a parsed ``map<string,string>`` image into typed columns.
+
+    Image keys are the Oracle (uppercase) column names; output columns use
+    the Spark-side (given) field names."""
     return [
-        decode_literal(F.try_element_at(img, F.lit(f.name)), f.dataType, db_timezone).alias(f.name)
+        decode_literal(
+            F.try_element_at(img, F.lit(f.name.upper())), f.dataType, db_timezone
+        ).alias(f.name)
         for f in fields
     ]

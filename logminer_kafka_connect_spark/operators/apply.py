@@ -96,6 +96,74 @@ def build_merge_source(
     return net.select(*cols, op.alias(OP_COL), set_cols.alias(SET_COLS_COL))
 
 
+def parse_committed_typed(committed: DataFrame, schema: T.StructType, key_col: str = "url") -> DataFrame:
+    """Typed fast path: parse + hex-decode binary columns + key extraction
+    in one Arrow UDF built for the current schema (rebuilt per batch, so
+    DDL evolution is picked up)."""
+    from logminer_kafka_connect_spark.functions.redo_parse import make_typed_parse_udf
+
+    udf, _ = make_typed_parse_udf(schema.fields, key_col)
+    parsed = committed.withColumn("__t", udf(F.col("sql_redo"), F.col("op_code")))
+    return parsed.select(
+        "xid",
+        "scn",
+        "row_id",
+        "commit_scn",
+        "op_code",
+        F.col("__t.key").alias("key"),
+        F.col("__t.img").alias("img"),
+        F.col("__t.set_cols").alias("set_cols"),
+        F.col("__t.parse_error").alias("parse_error"),
+    )
+
+
+def build_merge_source_typed(
+    parsed: DataFrame,
+    schema: T.StructType,
+    key_col: str = "url",
+    db_timezone: str = "UTC",
+) -> DataFrame:
+    """Typed net-effect -> SnapshotTable.merge contract (same semantics as
+    ``build_merge_source``; casts/extraction run on net rows only)."""
+    from logminer_kafka_connect_spark.operators.dedup import net_effect_typed
+
+    net = net_effect_typed(parsed, schema.fields, key_col=key_col)
+    img = F.col("__net.img")
+    deleted = F.col("__net.deleted")
+    fresh = F.col("__net.fresh")
+    cols = F.col("__net.cols")
+
+    has_html = F.when(
+        cols.isNull(), img[HTML_SOURCE_COL].isNotNull()
+    ).otherwise(F.array_contains(cols, HTML_SOURCE_COL))
+
+    out: list[Column] = []
+    for field in schema.fields:
+        if field.name == key_col:
+            out.append(F.col(key_col).cast(field.dataType).alias(field.name))
+        elif field.name == DERIVED_TEXT_COL:
+            text = F.when(has_html, extract_text_udf(img[HTML_SOURCE_COL])).otherwise(
+                F.lit(None).cast("string")
+            )
+            out.append(text.alias(field.name))
+        elif isinstance(field.dataType, T.BinaryType):
+            out.append(img[field.name].alias(field.name))
+        elif isinstance(field.dataType, T.TimestampType):
+            raw = img[field.name]
+            ts = F.to_timestamp(raw)
+            if db_timezone != "UTC":
+                ts = F.to_utc_timestamp(ts, db_timezone)
+            out.append(ts.alias(field.name))
+        else:
+            out.append(img[field.name].cast(field.dataType).alias(field.name))
+
+    set_cols = F.when(deleted | fresh, F.lit(None).cast("array<string>")).otherwise(
+        F.when(has_html, F.array_union(cols, F.array(F.lit(DERIVED_TEXT_COL)))).otherwise(cols)
+    )
+    op = F.when(deleted, F.lit("d")).otherwise(F.lit("u"))
+    return net.select(*out, op.alias(OP_COL), set_cols.alias(SET_COLS_COL))
+
+
 def partition_lineage(changes: DataFrame, batch_id: str) -> DataFrame:
     """A7 — per-partition SCN range + row counts for the lineage table
     (north_rule; reference analog: per-record offset maps,

@@ -74,6 +74,78 @@ def key_expr(key_col_upper: str):
     ).otherwise(F.try_element_at(F.col("before"), F.lit(key_col_upper)))
 
 
+def net_effect_typed(parsed: DataFrame, fields, key_col: str = "url") -> DataFrame:
+    """Typed-image net-effect fold (the fast path; see
+    ``functions.redo_parse.make_typed_parse_udf``).
+
+    Input: one row per change with ``commit_scn, scn, row_id, op_code,
+    key, img (typed struct), set_cols``. Output: ``key_col`` +
+    ``__net = struct(deleted, fresh, img, cols)`` where ``cols`` is the
+    union of explicitly-set columns since the last reset (null = full
+    image). Same overlay semantics as the generic fold, but the payload is
+    typed/binary (no JSON, no maps) and every expression is codegen-able.
+    """
+    names = [f.name for f in fields]
+    img_ddl = (
+        "struct<"
+        + ",".join(
+            f"{f.name}:{'binary' if f.dataType.typeName() == 'binary' else 'string'}"
+            for f in fields
+        )
+        + ">"
+    )
+    null_img = f"cast(null as {img_ddl})"
+    empty_cols = "cast(array() as array<string>)"
+
+    overlay = ", ".join(
+        f"'{n}', CASE WHEN acc.deleted OR NOT acc.started THEN e.img.{n} "
+        f"WHEN e.set_cols IS NULL OR array_contains(e.set_cols, '{n}') THEN e.img.{n} "
+        f"ELSE acc.img.{n} END"
+        for n in names
+    )
+    # NOTE: the zero's ``cols`` must be a NULL literal, not an empty array:
+    # Spark infers the fold accumulator's nullability from the zero value,
+    # and the insert branch assigns null ``cols`` (= full image) — a
+    # non-null zero makes codegen skip null checks and NPE in array_union.
+    fold = f"""
+    aggregate(
+      __evs,
+      named_struct('started', false, 'deleted', false, 'fresh', false,
+                   'img', {null_img}, 'cols', cast(null as array<string>)),
+      (acc, e) -> CASE
+        WHEN e.op_code = {OP_INSERT} THEN named_struct(
+          'started', true, 'deleted', false, 'fresh', true,
+          'img', e.img, 'cols', cast(null as array<string>))
+        WHEN e.op_code = {OP_DELETE} THEN named_struct(
+          'started', true, 'deleted', true, 'fresh', false,
+          'img', {null_img}, 'cols', {empty_cols})
+        ELSE named_struct(
+          'started', true, 'deleted', false,
+          'fresh', CASE WHEN acc.deleted THEN true
+                        WHEN acc.started THEN acc.fresh
+                        ELSE false END,
+          'img', named_struct({overlay}),
+          'cols', CASE WHEN acc.started AND acc.cols IS NULL AND NOT acc.deleted
+                       THEN cast(null as array<string>)
+                       ELSE array_union(
+                         CASE WHEN acc.deleted OR NOT acc.started
+                              THEN {empty_cols} ELSE acc.cols END,
+                         coalesce(e.set_cols, {empty_cols})) END)
+      END
+    )
+    """
+    keyed = parsed.filter(F.col("key").isNotNull())
+    evs = F.array_sort(
+        F.collect_list(F.struct("commit_scn", "scn", "row_id", "op_code", "img", "set_cols"))
+    )
+    return (
+        keyed.groupBy(F.col("key").alias(key_col))
+        .agg(evs.alias("__evs"))
+        .withColumn("__net", F.expr(fold))
+        .select(key_col, "__net")
+    )
+
+
 def net_effect(parsed: DataFrame, key_col: str = "url") -> DataFrame:
     """Reduce parsed committed changes to one net-effect row per key.
 

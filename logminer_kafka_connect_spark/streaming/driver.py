@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logminer_kafka_connect_spark.operators.apply import (
-    build_merge_source,
-    parse_committed,
+    build_merge_source_typed,
+    parse_committed_typed,
     partition_lineage,
 )
 from logminer_kafka_connect_spark.operators.consolidate import (
@@ -98,7 +98,8 @@ class ReplayDriver:
         n_changes = 0
         part_df = None
         if not already_merged:
-            parsed = parse_committed(committed)
+            schema = self.table.schema()
+            parsed = parse_committed_typed(committed, schema, key_col=self.key_col)
             if self.track_parse_errors or self.track_partition_lineage:
                 parsed = parsed.persist()
                 if self.track_parse_errors:
@@ -109,8 +110,8 @@ class ReplayDriver:
             else:
                 good = parsed.filter(F.col("parse_error").isNull())
 
-            source = build_merge_source(
-                good, self.table.schema(), key_col=self.key_col, db_timezone=self.db_timezone
+            source = build_merge_source_typed(
+                good, schema, key_col=self.key_col, db_timezone=self.db_timezone
             )
             stats = self.table.merge(self.spark, source, batch_id=batch_id)
             n_changes = stats.source_rows
@@ -219,14 +220,15 @@ class ReplayDriver:
         n_parse_errors = 0
         part_df = None
         if batch_id not in self.table.applied_batch_ids():
-            parsed = parse_committed(committed).persist()
+            schema = self.table.schema()
+            parsed = parse_committed_typed(committed, schema, key_col=self.key_col).persist()
             if self.track_parse_errors:
                 n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
             good = parsed.filter(F.col("parse_error").isNull())
             if self.track_partition_lineage:
                 part_df = partition_lineage(good, batch_id)
-            source = build_merge_source(
-                good, self.table.schema(), key_col=self.key_col, db_timezone=self.db_timezone
+            source = build_merge_source_typed(
+                good, schema, key_col=self.key_col, db_timezone=self.db_timezone
             )
             stats = self.table.merge(self.spark, source, batch_id=batch_id)
             n_changes = stats.source_rows
