@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "120000"))
+BENCH_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "330000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 # N / 4N parallelism pair for the scaling criterion. Default N=2: this
 # sandbox's "32 CPUs" are SMT/shared — raw-CPU control (BENCH/BASELINE.md)

@@ -40,23 +40,32 @@ def reassemble_csf(changes: DataFrame) -> DataFrame:
     aggregation applies; no window needed). Single-chunk rows (the vast
     majority) pass through the same group-by, which AQE keeps cheap.
     """
+    meta_cols = [
+        "commit_scn", "ts", "op_code", "operation",
+        "seg_owner", "table_name", "username",
+    ]
+    # Single-chunk statements (csf=false, seq=0 — the vast majority) carry
+    # their full SQL already and BYPASS the reassembly exchange entirely;
+    # only continuation groups shuffle. The union keeps one schema.
+    single = changes.filter(~F.col("csf") & (F.col("seq") == 0)).select(
+        "xid", "scn", "row_id", *meta_cols, "sql_redo"
+    )
+    chunked = changes.filter(F.col("csf") | (F.col("seq") > 0))
+
     parts = F.array_sort(F.collect_list(F.struct("seq", "sql_redo")))
     sql = F.concat_ws("", F.expr("transform(__parts, p -> p.sql_redo)"))
-    return (
-        changes.groupBy("xid", "scn", "row_id")
+    reassembled = (
+        chunked.groupBy("xid", "scn", "row_id")
         .agg(
             parts.alias("__parts"),
-            F.first("commit_scn").alias("commit_scn_raw"),
-            F.first("ts").alias("ts"),
-            F.first("op_code").alias("op_code"),
-            F.first("operation").alias("operation"),
-            F.first("seg_owner").alias("seg_owner"),
-            F.first("table_name").alias("table_name"),
-            F.first("username").alias("username"),
+            *[F.first(c).alias(c) for c in meta_cols],
         )
         .withColumn("sql_redo", sql)
         .drop("__parts")
+        .select("xid", "scn", "row_id", *meta_cols, "sql_redo")
     )
+    out = single.unionByName(reassembled)
+    return out.withColumn("commit_scn_raw", F.col("commit_scn")).drop("commit_scn")
 
 
 def consolidate(

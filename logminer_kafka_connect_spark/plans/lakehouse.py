@@ -237,10 +237,18 @@ class SnapshotTable:
     # ---------------------------------------------------------------- write
     def _write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return
-        bucket -> [path] for the buckets that received rows."""
+        bucket -> [path] for the buckets that received rows.
+
+        Rows are shuffled onto the bucket id first so each task holds one
+        (or few) buckets — otherwise the dynamic-partition writer makes
+        every task sort by bucket and open a file per bucket (tasks ×
+        buckets small files + per-task sorts; measured as the dominant
+        non-scaling cost of MERGE)."""
         out_dir = os.path.join(self._data_dir, f"commit-{version:06d}-{uuid.uuid4().hex[:8]}")
+        n_buckets = self.metadata()["n_buckets"]
         (
-            df.write.mode("overwrite")
+            df.repartition(n_buckets, F.col(BUCKET_COL))
+            .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )

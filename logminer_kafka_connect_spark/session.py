@@ -58,7 +58,11 @@ def get_spark(
         # wall vs ParallelGC at 32 local threads (measured, BENCH notes)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # the CDC payload is html/text: zstd shrinks shuffle + parquet bytes
+        # ~2x vs lz4/snappy — the pipeline's non-scaling cost is disk IO,
+        # while the extra compression CPU parallelizes with the tasks
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
