@@ -235,7 +235,7 @@ class SnapshotTable:
         return self._read_paths(spark, paths, meta)
 
     # ---------------------------------------------------------------- write
-    def _write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+    def _write_buckets(self, df: DataFrame, version: int, pre_partitioned: bool = False) -> dict[str, list[str]]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return
         bucket -> [path] for the buckets that received rows.
 
@@ -245,10 +245,10 @@ class SnapshotTable:
         buckets small files + per-task sorts; measured as the dominant
         non-scaling cost of MERGE)."""
         out_dir = os.path.join(self._data_dir, f"commit-{version:06d}-{uuid.uuid4().hex[:8]}")
-        n_buckets = self.metadata()["n_buckets"]
+        if not pre_partitioned:
+            df = df.repartition(self.metadata()["n_buckets"], F.col(BUCKET_COL))
         (
-            df.repartition(n_buckets, F.col(BUCKET_COL))
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
@@ -326,8 +326,17 @@ class SnapshotTable:
                 BUCKET_COL, _bucket_expr(key_cols, n_buckets)
             )
 
-            join_cond = [src[k].eqNullSafe(target[k]) for k in key_cols]
-            joined = target.alias("t").join(src.alias("s"), join_cond, "full_outer")
+            # Join on (bucket, key) with both sides hash-partitioned on the
+            # bucket: HashPartitioning(bucket) satisfies the clustered
+            # distribution of the join keys, AND the join output is already
+            # bucket-partitioned for the write — one full-table shuffle
+            # saved vs joining on key alone and repartitioning afterwards.
+            src_p = src.repartition(n_buckets, F.col(BUCKET_COL))
+            target_p = target.repartition(n_buckets, F.col(BUCKET_COL))
+            join_cond = [src_p[BUCKET_COL] == target_p[BUCKET_COL]] + [
+                src_p[k].eqNullSafe(target_p[k]) for k in key_cols
+            ]
+            joined = target_p.alias("t").join(src_p.alias("s"), join_cond, "full_outer")
 
             s_op = F.col(f"s.{OP_COL}")
             s_key = F.col(f"s.{key_cols[0]}")
@@ -352,7 +361,7 @@ class SnapshotTable:
             merged_df = joined.filter(keep).select(*out_cols, bucket_out)
 
             version = meta["version"] + 1
-            new_buckets_map = self._write_buckets(merged_df, version)
+            new_buckets_map = self._write_buckets(merged_df, version, pre_partitioned=True)
         finally:
             src.unpersist()
 
