@@ -144,7 +144,7 @@ def run_scaling(results: dict) -> dict:
             .where(F.col("op_code").isin(1, 2, 3) & (F.col("seq") == 0))
             .count()
         )
-        spark.createDataFrame(gen.snapshot_pdf()).write.mode("overwrite").parquet(snap_path)
+        gen.snapshot_df(spark, n_partitions=CPUS).write.mode("overwrite").parquet(snap_path)
         with open(n_marker, "w") as f:
             f.write(str(n_events))
         gen_s = time.time() - t0

@@ -41,6 +41,7 @@ class CdcEngine:
         n_buckets: int = 32,
         schema: T.StructType = PAGES_SCHEMA,
         key_col: str = "url",
+        schema_provider=None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -55,6 +56,8 @@ class CdcEngine:
             self.lineage,
             selectors or DEFAULT_SELECTORS,
             key_col=key_col,
+            schema_provider=schema_provider,
+            quarantine_dir=os.path.join(workdir, "quarantine"),
         )
 
     def load_snapshot(self, source: DataFrame, snapshot_scn: int) -> dict:

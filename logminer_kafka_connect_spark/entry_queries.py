@@ -491,6 +491,26 @@ def d17(spark, sf_dir):
     return D.jaccard_pairs(docs, threshold=0.02)
 
 
+@_q(
+    "d18_embedding_near_dups",
+    """
+    WITH n AS (SELECT vec_id, embedding,
+                 sqrt(list_aggregate(list_transform(embedding,
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS nrm
+               FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+               / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.4
+    """,
+)
+def d18(spark, sf_dir):
+    return D.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -648,7 +668,7 @@ def cdc_replay(spark, sf_dir):
     )
     workdir = tempfile.mkdtemp(prefix="lmkc-entry-")
     engine = CdcEngine(spark, workdir, n_buckets=16)
-    engine.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
     engine.replay(gen.events_df(spark), n_batches=4)
     state = engine.state()
     return state.select(
@@ -687,7 +707,37 @@ def cdc_envelope(spark, sf_dir):
 def ann_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_bucketed_topk(emb, q, k=3, n_tables=6, n_planes=6)
+    return S.lsh_bucketed_topk(emb, q, k=3, n_tables=12, n_planes=4)
+
+
+@_q("ann_recall")
+def ann_recall(spark, sf_dir):
+    """Recall@k of the LSH-bucketed ANN vs the exact top-k (n18's answer) —
+    the quality gate for the approximate scale path. No SQL oracle exists
+    for seeded-numpy hyperplanes; tests/test_textops.py asserts a recall
+    floor on this same DataFrame."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    approx = S.lsh_bucketed_topk(emb, q, k=3, n_tables=12, n_planes=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4).alias(
+                "recall_at_k"
+            ),
+        )
+    )
 
 
 @_q("mm_media_features")
@@ -698,4 +748,14 @@ def mm_features(spark, sf_dir):
     )
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return extract_media_features(attach_media_columns(docs))
+    feats = extract_media_features(attach_media_columns(docs))
+    # The harness canonicalizer sorts/hashes columns — an array<float>
+    # column is unhashable pandas-side, so project it to a stable scalar
+    # (the operator itself still returns the typed array).
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        "byte_entropy",
+        F.to_json("feature").alias("feature_json"),
+    )

@@ -57,31 +57,43 @@ class _ParseError(ValueError):
     pass
 
 
-def _normalize_ts(lit: str) -> str:
-    """Normalize the three Oracle timestamp flavors to a UTC-or-naive
-    ``yyyy-MM-dd HH:mm:ss.ffffff`` string (ColumnSchemaBuilder.kt:129-194)."""
+def _normalize_ts(lit: str, db_timezone: str = "UTC") -> str:
+    """Normalize the three Oracle timestamp flavors to a UTC
+    ``yyyy-MM-dd HH:mm:ss.ffffff`` string (ColumnSchemaBuilder.kt:129-194).
+
+    Naive literals (no zone name / offset) are in the database's zone
+    (``ColumnSchemaBuilder.kt:129-145``); they are converted here, in the
+    same place zoned literals are, so the JVM side NEVER re-shifts — the
+    session zone is UTC and ``to_timestamp`` is the only remaining step
+    (fixes the double conversion when db_timezone != UTC)."""
     m = _TS_ZONED.match(lit.strip())
     if not m:
         return lit
     base, frac, zone_name, offset = m.groups()
     frac = (frac or ".0")[:7]  # micros max for datetime
-    dt = datetime.strptime(f"{base}{frac.ljust(7, '0')}", "%Y-%m-%d %H:%M:%S.%f")
-    if zone_name:
-        dt = dt.replace(tzinfo=ZoneInfo(zone_name)).astimezone(timezone.utc)
-    elif offset:
-        dt = datetime.fromisoformat(f"{base}{frac.ljust(7, '0')}{offset}").astimezone(timezone.utc)
-    else:
-        return f"{base}{frac.ljust(7, '0')}"
+    try:
+        dt = datetime.strptime(f"{base}{frac.ljust(7, '0')}", "%Y-%m-%d %H:%M:%S.%f")
+        if zone_name:
+            dt = dt.replace(tzinfo=ZoneInfo(zone_name)).astimezone(timezone.utc)
+        elif offset:
+            dt = datetime.fromisoformat(f"{base}{frac.ljust(7, '0')}{offset}").astimezone(timezone.utc)
+        elif db_timezone != "UTC":
+            dt = dt.replace(tzinfo=ZoneInfo(db_timezone)).astimezone(timezone.utc)
+        else:
+            return f"{base}{frac.ljust(7, '0')}"
+    except Exception as e:  # unknown zone name, out-of-range datetime, ...
+        raise _ParseError(f"bad timestamp literal {lit!r}: {e}") from e
     return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
 class _Cursor:
-    __slots__ = ("s", "i", "n")
+    __slots__ = ("s", "i", "n", "db_tz")
 
-    def __init__(self, s: str):
+    def __init__(self, s: str, db_timezone: str = "UTC"):
         self.s = s
         self.i = 0
         self.n = len(s)
+        self.db_tz = db_timezone
 
     def skip_ws(self) -> None:
         while self.i < self.n and self.s[self.i] in " \t\r\n":
@@ -128,6 +140,10 @@ class _Cursor:
         """One SQL literal -> canonical string (or None for NULL)."""
         self.skip_ws()
         s, i = self.s, self.i
+        if i >= self.n:
+            # truncated statement, e.g. "insert ... values (" — must be a
+            # routed parse failure, not an IndexError escaping the UDF
+            raise _ParseError("unexpected end of statement")
         if s[i : i + 4].upper() == "NULL" and not _IDENT.match(s, i + 4):
             self.i += 4
             return None
@@ -136,10 +152,10 @@ class _Cursor:
             self.i = mh.end()
             return mh.group(1).lower()
         mt = _TS_PREFIX.match(s, i)
-        if mt and self.s[mt.end()] == "'":
+        if mt and mt.end() < self.n and self.s[mt.end()] == "'":
             self.i = mt.end()
             lit = self.string_literal()
-            return _normalize_ts(lit) if mt.group(1).upper() == "TIMESTAMP" else lit
+            return _normalize_ts(lit, self.db_tz) if mt.group(1).upper() == "TIMESTAMP" else lit
         if s[i] == "'":
             return self.string_literal()
         if s[i : i + 11].upper() == "EMPTY_BLOB(" or s[i : i + 11].upper() == "EMPTY_CLOB(":
@@ -169,13 +185,13 @@ def _parse_where(cur: _Cursor) -> dict[str, str | None]:
     return img
 
 
-def parse_redo_statement(sql: str) -> tuple[dict | None, dict | None]:
+def parse_redo_statement(sql: str, db_timezone: str = "UTC") -> tuple[dict | None, dict | None]:
     """Parse one redo statement -> (before, after) images.
 
     INSERT -> (None, after); UPDATE -> (where-image, set-image);
     DELETE -> (where-image, None). Dispatch mirrors LogminerRow.kt:63-96.
     """
-    cur = _Cursor(sql)
+    cur = _Cursor(sql, db_timezone)
     cur.skip_ws()
     if cur.eat("insert into"):
         cur.ident()
@@ -218,33 +234,45 @@ def parse_redo_statement(sql: str) -> tuple[dict | None, dict | None]:
     raise _ParseError(f"unsupported statement: {sql[:60]!r}")
 
 
-def _parse_one(sql: str | None) -> tuple[str | None, str | None, str | None]:
+def _parse_one(sql: str | None, db_timezone: str = "UTC") -> tuple[str | None, str | None, str | None]:
     if sql is None:
         return None, None, "null sql_redo"
     try:
-        before, after = parse_redo_statement(sql)
+        before, after = parse_redo_statement(sql, db_timezone)
         return (
             json.dumps(before) if before is not None else None,
             json.dumps(after) if after is not None else None,
             None,
         )
-    except _ParseError as e:
+    except Exception as e:
         # Reference: parse failure -> record skipped with error log
         # (TransactionConsolidator.kt:66-69). We surface it as a column so
-        # the driver can count/route failures instead of dying.
-        return None, None, str(e)
+        # the driver can count/route failures instead of dying. Catching
+        # broadly (not just _ParseError) matters: a malformed statement must
+        # never fail the whole Spark job by escaping the pandas UDF.
+        return None, None, f"{type(e).__name__}: {e}"
 
 
-@F.pandas_udf(PARSED_SCHEMA)
-def parse_redo_udf(sql_redo: pd.Series) -> pd.DataFrame:
-    parsed = [_parse_one(s) for s in sql_redo]
-    return pd.DataFrame(parsed, columns=["before", "after", "parse_error"])
+def make_parse_udf(db_timezone: str = "UTC"):
+    """Generic parse UDF bound to a database timezone (naive timestamp
+    literals are db-zone and normalized to UTC inside the UDF)."""
+
+    @F.pandas_udf(PARSED_SCHEMA)
+    def parse_udf(sql_redo: pd.Series) -> pd.DataFrame:
+        parsed = [_parse_one(s, db_timezone) for s in sql_redo]
+        return pd.DataFrame(parsed, columns=["before", "after", "parse_error"])
+
+    return parse_udf
 
 
-def with_parsed_images(df, sql_col: str = "sql_redo"):
+parse_redo_udf = make_parse_udf()
+
+
+def with_parsed_images(df, sql_col: str = "sql_redo", db_timezone: str = "UTC"):
     """Attach typed-image precursors: ``before``/``after`` as
     ``map<string,string>`` (explicit nulls preserved) + ``parse_error``."""
-    parsed = df.withColumn("__parsed", parse_redo_udf(F.col(sql_col)))
+    udf = parse_redo_udf if db_timezone == "UTC" else make_parse_udf(db_timezone)
+    parsed = df.withColumn("__parsed", udf(F.col(sql_col)))
     return (
         parsed.withColumn("before_json", F.col("__parsed.before"))
         .withColumn("after_json", F.col("__parsed.after"))
@@ -275,7 +303,7 @@ def set_cols_expr(img: Column) -> Column:
 # picks up added/renamed columns automatically.
 
 
-def make_typed_parse_udf(fields, key_col: str = "url"):
+def make_typed_parse_udf(fields, key_col: str = "url", db_timezone: str = "UTC"):
     """Build the typed parse UDF for the given table schema fields.
 
     Returns ``(udf, output_type)`` where output is
@@ -313,25 +341,33 @@ def make_typed_parse_udf(fields, key_col: str = "url"):
         if sql is None:
             return None, None, None, "null sql_redo"
         try:
-            before, after = parse_redo_statement(sql)
-        except _ParseError as e:
-            return None, None, None, str(e)
-        key_src = after if op_code == OP_INSERT else before
-        key = (key_src or {}).get(key_upper)
-        vals: dict = {}
-        set_cols: list[str] = []
-        for up, val in (after or {}).items():
-            name = upper_to_lower.get(up)
-            if name is None:
-                continue  # column unknown to the current schema (cf. T9)
-            set_cols.append(name)
-            if name in binary_cols:
-                vals[name] = bytes.fromhex(val) if val is not None else None
-            else:
-                vals[name] = val
-        # fixed key order: Arrow struct conversion is positional per batch
-        img = {name: vals.get(name) for name in col_names}
-        return key, img, set_cols, None
+            before, after = parse_redo_statement(sql, db_timezone)
+            key_src = after if op_code == OP_INSERT else before
+            key = (key_src or {}).get(key_upper)
+            vals: dict = {}
+            set_cols: list[str] = []
+            for up, val in (after or {}).items():
+                name = upper_to_lower.get(up)
+                if name is None:
+                    # Column unknown to the current table schema: the
+                    # reference refreshes the schema and retries, and NEVER
+                    # silently drops data (TransactionConsolidator.kt:79-89).
+                    # Route the row to the schema-miss/quarantine path — the
+                    # driver retries it against a refreshed schema and
+                    # quarantines it loudly if the column is still unknown.
+                    return key, None, None, f"schema_miss: {up}"
+                set_cols.append(name)
+                if name in binary_cols:
+                    # fromhex stays inside the try: corrupt/odd-length hex is
+                    # a routed parse failure, not a task crash
+                    vals[name] = bytes.fromhex(val) if val is not None else None
+                else:
+                    vals[name] = val
+            # fixed key order: Arrow struct conversion is positional per batch
+            img = {name: vals.get(name) for name in col_names}
+            return key, img, set_cols, None
+        except Exception as e:
+            return None, None, None, f"{type(e).__name__}: {e}"
 
     @F.pandas_udf(out_type)
     def typed_parse_udf(sql_redo: pd.Series, op_code: pd.Series) -> pd.DataFrame:

@@ -95,11 +95,12 @@ def decode_literal(col: Column, data_type: T.DataType, db_timezone: str = "UTC")
     if isinstance(data_type, T.DateType):
         return F.to_date(F.substring(col, 1, 10), "yyyy-MM-dd")
     if isinstance(data_type, T.TimestampType):
-        # Normalized by the parse UDF to 'yyyy-MM-dd HH:mm:ss.SSSSSS' UTC
-        # (zone-name literals resolved Python-side with zoneinfo — SURVEY
-        # §7 hard spot 4); db-zone-naive literals interpreted in db_timezone.
-        ts = F.to_timestamp(col)
-        return F.to_utc_timestamp(ts, db_timezone) if db_timezone != "UTC" else ts
+        # ALL three literal flavors (zone-name, offset, db-zone-naive) are
+        # normalized to UTC by the parse UDF (redo_parse._normalize_ts,
+        # which receives db_timezone — SURVEY §7 hard spot 4). The session
+        # zone is UTC, so a plain to_timestamp is the whole decode; applying
+        # to_utc_timestamp here would double-shift already-UTC values.
+        return F.to_timestamp(col)
     if isinstance(data_type, T.StringType):
         return col
     return col.cast(data_type)

@@ -39,13 +39,15 @@ DERIVED_TEXT_COL = "text"
 HTML_SOURCE_COL = "html"
 
 
-def parse_committed(committed: DataFrame, ensure_distribution: bool = False) -> DataFrame:
+def parse_committed(
+    committed: DataFrame, ensure_distribution: bool = False, db_timezone: str = "UTC"
+) -> DataFrame:
     """P2/P3 over committed changes; parse failures are split out by the
     caller via ``parse_error`` (reference skips + logs,
     ``TransactionConsolidator.kt:66-69``)."""
     if ensure_distribution:
         committed = committed.repartition(F.col("scn"), F.col("row_id"))
-    return with_parsed_images(committed)
+    return with_parsed_images(committed, db_timezone=db_timezone)
 
 
 def build_merge_source(
@@ -96,20 +98,31 @@ def build_merge_source(
     return net.select(*cols, op.alias(OP_COL), set_cols.alias(SET_COLS_COL))
 
 
-def parse_committed_typed(committed: DataFrame, schema: T.StructType, key_col: str = "url") -> DataFrame:
+def parse_committed_typed(
+    committed: DataFrame,
+    schema: T.StructType,
+    key_col: str = "url",
+    db_timezone: str = "UTC",
+    keep_sql: bool = False,
+) -> DataFrame:
     """Typed fast path: parse + hex-decode binary columns + key extraction
     in one Arrow UDF built for the current schema (rebuilt per batch, so
-    DDL evolution is picked up)."""
+    DDL evolution is picked up). ``keep_sql`` carries the original
+    ``sql_redo`` through (for the quarantine / dead-letter path — the
+    reference never drops a record it could not convert,
+    ``TransactionConsolidator.kt:79-89``)."""
     from logminer_kafka_connect_spark.functions.redo_parse import make_typed_parse_udf
 
-    udf, _ = make_typed_parse_udf(schema.fields, key_col)
+    udf, _ = make_typed_parse_udf(schema.fields, key_col, db_timezone)
     parsed = committed.withColumn("__t", udf(F.col("sql_redo"), F.col("op_code")))
+    extra = ["sql_redo"] if keep_sql else []
     return parsed.select(
         "xid",
         "scn",
         "row_id",
         "commit_scn",
         "op_code",
+        *extra,
         F.col("__t.key").alias("key"),
         F.col("__t.img").alias("img"),
         F.col("__t.set_cols").alias("set_cols"),
@@ -149,11 +162,9 @@ def build_merge_source_typed(
         elif isinstance(field.dataType, T.BinaryType):
             out.append(img[field.name].alias(field.name))
         elif isinstance(field.dataType, T.TimestampType):
-            raw = img[field.name]
-            ts = F.to_timestamp(raw)
-            if db_timezone != "UTC":
-                ts = F.to_utc_timestamp(ts, db_timezone)
-            out.append(ts.alias(field.name))
+            # already UTC-normalized by the parse UDF (all three literal
+            # flavors, including db-zone-naive) — no re-shift here
+            out.append(F.to_timestamp(img[field.name]).alias(field.name))
         else:
             out.append(img[field.name].cast(field.dataType).alias(field.name))
 

@@ -130,16 +130,29 @@ def open_txn_watermark(
     events: DataFrame,
     selectors: list[TableSelector],
     commit_hi: int,
+    change_lo: int | None = None,
 ) -> tuple[int | None, int]:
     """A1 — the safe resume point: ``min(scn)`` over changes whose
     transaction has no marker below ``commit_hi``
     (``TransactionConsolidator.kt:57-62, 113-115``). Returns
     ``(min_open_scn_or_None, n_open_changes)``; the next batch re-scans
     changes from this bound (T2 carryover).
+
+    ``change_lo`` (the previous batch's watermark) bounds the scan below:
+    a change under the previous watermark belongs to a transaction that
+    already had a marker below the previous ``commit_hi`` — markers only
+    accumulate, so it cannot be open now. Without this bound the watermark
+    job rescans the log from SCN 0 every batch, which is quadratic in log
+    length over a long replay (a genuine 10^10-event scale-killer). A
+    transaction's marker always follows its changes, so the marker scan is
+    bounded by the same floor.
     """
-    markers = filter_markers(events).filter(F.col("scn") < commit_hi).select("xid").distinct()
+    markers = filter_markers(events).filter(F.col("scn") < commit_hi)
     changes = filter_changes(events, selectors).filter(F.col("scn") < commit_hi)
-    open_changes = changes.join(markers, "xid", "left_anti")
+    if change_lo is not None:
+        markers = markers.filter(F.col("scn") >= change_lo)
+        changes = changes.filter(F.col("scn") >= change_lo)
+    open_changes = changes.join(markers.select("xid").distinct(), "xid", "left_anti")
     row = open_changes.agg(
         F.min("scn").alias("lo"), F.count(F.lit(1)).alias("n")
     ).collect()[0]

@@ -53,10 +53,13 @@ def filter_changes(events: DataFrame, selectors: list[TableSelector]) -> DataFra
 
 
 def filter_markers(events: DataFrame) -> DataFrame:
-    """F2 (marker side) + F3 system-user filter on commit/rollback rows
-    (``LogminerSession.kt:186-187``)."""
+    """F2 (marker side) + F3 system-user filter on commit/rollback rows.
+    The reference applies ``WHERE ROLLBACK = 0`` to the *whole* scan
+    including the marker branch (``LogminerSession.kt:185-187``) — a marker
+    row carrying rollback=1 must not be honored as a txn terminator."""
     return events.filter(
         F.col("op_code").isin(OP_COMMIT, OP_ROLLBACK)
+        & (F.col("rollback") == 0)  # F1 applies to markers too
         & ~F.coalesce(F.col("username").isin(*SYSTEM_USERS), F.lit(False))  # F3
     )
 

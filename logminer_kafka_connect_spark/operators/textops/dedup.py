@@ -123,10 +123,52 @@ def jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (all co-shingled pairs
-    when ``pairs`` is None — the brute n-gram dedup path at small scale)."""
-    sh = doc_shingles(df, id_col, text_col, shingle_k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))  # shingles distinct already
+    when ``pairs`` is None — the brute n-gram dedup path at small scale).
 
+    With ``pairs``, verification cost scales with |candidates|, NOT corpus²:
+    shingles are first semi-joined to the candidate-id set, per-candidate
+    shingle sets are collected once, and each candidate pair computes
+    |A∩B| via ``array_intersect`` — no unrestricted shingle self-join
+    anywhere in the plan (that self-join is O(Σ per-shingle occurrences²)
+    over the whole corpus and defeats the point of LSH banding)."""
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+
+    if pairs is not None:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # per-candidate shingle sets (shingles_expr already emits distinct
+        # shingles, so collect_set size == the distinct-shingle count);
+        # persisted: consumed twice (id_a side and id_b side of the pair
+        # join) and bounded by |candidate docs|, not the corpus
+        sets = (
+            sh.join(ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("sh_set"))
+            .persist()
+        )
+        a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
+        b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
+            .filter(F.col("n_inter") > 0)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_inter")
+                    / (F.size("set_a") + F.size("set_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))  # shingles distinct already
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -140,8 +182,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     out = (
@@ -171,7 +211,11 @@ def minhash_lsh_dedup(
     """Full pipeline: signatures -> banded candidates -> exact-Jaccard
     verification. Returns verified near-dup pairs (id_a, id_b, jaccard)."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+    # The candidate set is tiny (collision pairs) but its lineage is the
+    # whole signature pipeline; downstream it is consumed three times
+    # (id_a ids, id_b ids, final pair join) — persist, or the shingle+md5
+    # work reruns per consumer.
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands).persist()
     return jaccard_pairs(df, cands, id_col, text_col, shingle_k, threshold)
 
 

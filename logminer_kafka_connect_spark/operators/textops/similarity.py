@@ -95,14 +95,15 @@ def bucket_signatures(
 
     The hyperplane matrix is regenerated deterministically from ``seed``
     inside each Arrow batch (no driver-side broadcast payload needed).
+    ``dim`` defaults to the batch's own vector length — same matrix on
+    every executor since all vectors share a dimension — so no driver-side
+    ``.first()`` sniff job runs (it cost two extra jobs per call).
     """
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def sig_udf(vecs: pd.Series) -> pd.Series:
-        planes = _hyperplanes(seed, n_tables, n_planes, dim)
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        planes = _hyperplanes(seed, n_tables, n_planes, dim or mat.shape[1])
         out = []
         signs = (np.einsum("tpd,bd->tbp", planes, mat) > 0).astype(np.int64)
         weights = 1 << np.arange(n_planes, dtype=np.int64)
@@ -131,9 +132,8 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any LSH bucket with
     the query in any table; exact cosine re-rank within candidates."""
-    dim = len(emb.select(vec_col).first()[0])
-    cb = bucket_signatures(emb, id_col, vec_col, seed, n_tables, n_planes, dim)
-    qb = bucket_signatures(queries, id_col, vec_col, seed, n_tables, n_planes, dim)
+    cb = bucket_signatures(emb, id_col, vec_col, seed, n_tables, n_planes)
+    qb = bucket_signatures(queries, id_col, vec_col, seed, n_tables, n_planes)
 
     cands = (
         qb.alias("q")

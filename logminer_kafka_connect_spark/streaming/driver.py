@@ -73,6 +73,8 @@ class ReplayDriver:
         track_parse_errors: bool = True,
         track_partition_lineage: bool = True,
         track_watermark: bool = True,
+        schema_provider=None,
+        quarantine_dir: str | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -83,6 +85,56 @@ class ReplayDriver:
         self.track_parse_errors = track_parse_errors
         self.track_partition_lineage = track_partition_lineage
         self.track_watermark = track_watermark
+        # T9 lazy refresh: on a schema-miss (redo SQL references a column the
+        # table doesn't know — e.g. the ALTER was unparseable or lost), the
+        # reference refreshes from the DB dictionary and retries
+        # (TransactionConsolidator.kt:79-89, SchemaService.kt:34-36). The
+        # provider is that dictionary's pluggable analog:
+        # ``provider(column_name) -> (spark_type, default) | None``.
+        self.schema_provider = schema_provider
+        # Dead-letter parquet for rows that still fail after the refresh —
+        # loud, replayable, never silently dropped.
+        self.quarantine_dir = quarantine_dir
+
+    # ------------------------------------------------- parse-failure routing
+    def _resolve_schema_misses(self, parsed: DataFrame) -> bool:
+        """Try the schema provider on every missed column; returns True if
+        the table schema changed (caller re-parses the batch)."""
+        if self.schema_provider is None:
+            return False
+        miss_cols = [
+            r["c"]
+            for r in parsed.filter(F.col("parse_error").startswith("schema_miss"))
+            .select(F.regexp_extract("parse_error", r"schema_miss: (\S+)", 1).alias("c"))
+            .distinct()
+            .collect()
+            if r["c"]
+        ]
+        changed = False
+        for c in miss_cols:
+            resolved = self.schema_provider(c)
+            if resolved is not None:
+                data_type, default = resolved
+                self.table.add_column(c.lower(), data_type, default=default)
+                changed = True
+        return changed
+
+    def _quarantine(self, failed: DataFrame, batch_id: str) -> int:
+        """Write still-failing rows (original redo SQL + error) to the
+        dead-letter table; idempotent per batch (overwrite of the batch's
+        own directory)."""
+        n = failed.count()
+        if n and self.quarantine_dir:
+            (
+                failed.select(
+                    "xid", "scn", "row_id", "commit_scn", "op_code",
+                    "sql_redo", "parse_error",
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(f"{self.quarantine_dir}/batch-{batch_id}")
+            )
+        return n
 
     # ------------------------------------------------------------ one batch
     def process_range(self, events: DataFrame, lo: int, hi: int, change_lo: int | None) -> dict:
@@ -95,15 +147,36 @@ class ReplayDriver:
         already_merged = batch_id in self.table.applied_batch_ids()
 
         n_parse_errors = 0
+        n_quarantined = 0
         n_changes = 0
         part_df = None
         if not already_merged:
             schema = self.table.schema()
-            parsed = parse_committed_typed(committed, schema, key_col=self.key_col)
+            parsed = parse_committed_typed(
+                committed, schema, key_col=self.key_col,
+                db_timezone=self.db_timezone, keep_sql=self.track_parse_errors,
+            )
             if self.track_parse_errors or self.track_partition_lineage:
                 parsed = parsed.persist()
                 if self.track_parse_errors:
                     n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
+                    if n_parse_errors and self._resolve_schema_misses(parsed):
+                        # lazy schema refresh succeeded — re-parse the batch
+                        # against the evolved schema (the reference's
+                        # refresh-and-retry, TransactionConsolidator.kt:79-89)
+                        parsed.unpersist()
+                        schema = self.table.schema()
+                        parsed = parse_committed_typed(
+                            committed, schema, key_col=self.key_col,
+                            db_timezone=self.db_timezone, keep_sql=True,
+                        ).persist()
+                        n_parse_errors = parsed.filter(
+                            F.col("parse_error").isNotNull()
+                        ).count()
+                    if n_parse_errors:
+                        n_quarantined = self._quarantine(
+                            parsed.filter(F.col("parse_error").isNotNull()), batch_id
+                        )
                 good = parsed.filter(F.col("parse_error").isNull())
                 if self.track_partition_lineage:
                     part_df = partition_lineage(good, batch_id)
@@ -119,7 +192,11 @@ class ReplayDriver:
                 parsed.unpersist()
 
         if self.track_watermark:
-            watermark, n_open = open_txn_watermark(events, self.selectors, hi)
+            # bounded below by the carryover watermark: rescanning from SCN 0
+            # every batch is quadratic in log length (see open_txn_watermark)
+            watermark, n_open = open_txn_watermark(
+                events, self.selectors, hi, change_lo=change_lo
+            )
             resume_change_lo = watermark if watermark is not None else hi
         else:
             # resume falls back to a full change re-scan (correct, slower)
@@ -133,6 +210,7 @@ class ReplayDriver:
             "n_open_changes": n_open,
             "n_net_rows": n_changes,
             "n_parse_errors": n_parse_errors,
+            "n_quarantined": n_quarantined,
             "table_version": self.table.current_version(),
             "wall_s": round(time.time() - t0, 3),
         }
@@ -142,12 +220,6 @@ class ReplayDriver:
     # ------------------------------------------------------- bounded replay
     def plan_ranges(self, events: DataFrame, n_batches: int, start_scn: int | None = None) -> tuple[list[tuple[int, int]], dict[int, DdlEvent]]:
         """Deterministic commit-SCN ranges, split at DDL boundaries."""
-        markers_span = (
-            consolidate_span(events, self.selectors, start_scn)
-        )
-        if markers_span is None:
-            return [], {}
-        lo, hi = markers_span
         ddls: dict[int, DdlEvent] = {}
         for r in filter_ddl(events, self.selectors).select("scn", "sql_redo").collect():
             if start_scn is not None and r["scn"] <= start_scn:
@@ -156,6 +228,14 @@ class ReplayDriver:
             if ev is not None:
                 ddls[r["scn"]] = ev
 
+        markers_span = (
+            consolidate_span(events, self.selectors, start_scn)
+        )
+        if markers_span is None:
+            # no commits at all — any DDLs still apply (handled by the
+            # trailing-DDL sweep in replay())
+            return [], ddls
+        lo, hi = markers_span
         if ddls:
             lo = min(lo, min(ddls.keys()))  # DDL before the first commit
         width = max(1, (hi - lo + n_batches) // n_batches)
@@ -193,6 +273,13 @@ class ReplayDriver:
                 # None (full re-scan) if unavailable — safe, just slower
                 change_lo = by_id.get(rec["batch_id"], {}).get("resume_change_lo")
             done += 1
+        # A trailing DDL (scn above the last commit marker) is never a range
+        # start — apply it after the last batch so the final table schema
+        # reflects every ALTER in the log (apply_ddl is idempotent).
+        range_starts = {lo for lo, _ in ranges}
+        for s in sorted(ddls):
+            if s not in range_starts:
+                apply_ddl(self.table, ddls[s])
         return ReplayStats(
             n_batches=done,
             n_events_applied=n_applied,
@@ -221,7 +308,9 @@ class ReplayDriver:
         part_df = None
         if batch_id not in self.table.applied_batch_ids():
             schema = self.table.schema()
-            parsed = parse_committed_typed(committed, schema, key_col=self.key_col).persist()
+            parsed = parse_committed_typed(
+                committed, schema, key_col=self.key_col, db_timezone=self.db_timezone
+            ).persist()
             if self.track_parse_errors:
                 n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
             good = parsed.filter(F.col("parse_error").isNull())
@@ -270,10 +359,19 @@ class ReplayDriver:
         from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA
 
         spark = self.spark
-        if full_log is None:
-            full_log = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
 
         def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # Re-create the full-log DataFrame per trigger: a batch
+            # DataFrame's file listing is frozen at creation, so for a
+            # genuinely unbounded log the change re-scan must re-list the
+            # directory each trigger or files appended after stream start
+            # would be invisible (silently dropping committed changes). A
+            # caller-injected full_log is honored as-is (bounded replays).
+            log_df = (
+                full_log
+                if full_log is not None
+                else spark.read.schema(EVENT_SCHEMA).parquet(events_path)
+            )
             markers_all = filter_markers(batch_df)
             if start_scn is not None:
                 markers_all = markers_all.filter(F.col("scn") > start_scn)
@@ -312,7 +410,7 @@ class ReplayDriver:
                         m = m.filter(F.col("scn") < b)
                     if m.limit(1).count() > 0:
                         self.process_markers(
-                            full_log, m, f"stream-{epoch_id}-{k}", commit_hi=b
+                            log_df, m, f"stream-{epoch_id}-{k}", commit_hi=b
                         )
                     if b is not None:
                         apply_ddl(self.table, ddls[k])
