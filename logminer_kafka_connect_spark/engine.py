@@ -42,14 +42,17 @@ class CdcEngine:
         schema: T.StructType = PAGES_SCHEMA,
         key_col: str = "url",
         schema_provider=None,
+        fs=None,
     ):
         self.spark = spark
         self.workdir = workdir
         table_path = os.path.join(workdir, "pages_table")
-        self.table = SnapshotTable(table_path)
+        self.table = SnapshotTable(table_path, fs=fs)
         if not self.table.exists():
-            self.table = SnapshotTable.create(table_path, schema, [key_col], n_buckets=n_buckets)
-        self.lineage = LineageLog(os.path.join(workdir, "lineage"))
+            self.table = SnapshotTable.create(
+                table_path, schema, [key_col], n_buckets=n_buckets, fs=fs
+            )
+        self.lineage = LineageLog(os.path.join(workdir, "lineage"), fs=fs)
         self.driver = ReplayDriver(
             spark,
             self.table,

@@ -5,9 +5,11 @@ this module implements the *Iceberg contract* from scratch on plain parquet
 with JSON metadata:
 
 - **atomic snapshot commits**: every write produces immutable data files plus
-  a new ``metadata/v{N}.json`` manifest; the current version is a one-line
-  pointer file swapped with ``os.replace`` (atomic on POSIX). Readers always
-  see a complete snapshot. (Iceberg analog: metadata.json + version-hint.)
+  a new ``metadata/v{N}.json`` manifest written atomically through a
+  ``plans.fs`` backend (LocalFS / HadoopFS — cluster storage); the one-line
+  version pointer is a hint, with max-manifest listing as the source of
+  truth. Readers always see a complete snapshot. (Iceberg analog:
+  metadata.json + version-hint.text, HadoopTableOperations IO.)
 - **time travel**: ``read(spark, version=k)`` plans from any retained
   manifest — this is the engine's flashback source, replacing the
   reference's ``SELECT ... AS OF SCN`` snapshot scan
@@ -40,7 +42,7 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -49,6 +51,10 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from logminer_kafka_connect_spark.plans.fs import LocalFS
+
+_VERSION_RE = re.compile(r"^v(\d{6})\.json$")
 
 # Contract for merge() inputs: the net-effect batch carries the table's
 # columns plus these control columns (built by operators/apply.py).
@@ -70,10 +76,16 @@ class MergeStats:
 
 
 class SnapshotTable:
-    """A versioned bucketed table rooted at ``path``."""
+    """A versioned bucketed table rooted at ``path``.
 
-    def __init__(self, path: str):
+    All metadata IO goes through a ``plans.fs`` backend (LocalFS default,
+    HadoopFS for cluster storage) — data files move exclusively through
+    Spark readers/writers, so the whole table works over any Hadoop path.
+    """
+
+    def __init__(self, path: str, fs=None):
         self.path = path
+        self.fs = fs or LocalFS()
         self._meta_dir = os.path.join(path, "metadata")
         self._data_dir = os.path.join(path, "data")
 
@@ -82,8 +94,22 @@ class SnapshotTable:
         return os.path.join(self._meta_dir, "CURRENT")
 
     def current_version(self) -> int:
-        with open(self._pointer_path()) as f:
-            return int(f.read().strip())
+        """Pointer file first (one small read); fall back to listing
+        ``metadata/v*.json`` and taking the max — covers the non-atomic
+        pointer-overwrite window on FSes without atomic rename-replace
+        (Iceberg's version-hint.text has the same 'hint, not truth'
+        semantics)."""
+        try:
+            return int(self.fs.read_text(self._pointer_path()).strip())
+        except Exception:
+            versions = [
+                int(m.group(1))
+                for m in (_VERSION_RE.match(n) for n in self.fs.listdir(self._meta_dir))
+                if m
+            ]
+            if not versions:
+                raise FileNotFoundError(f"no table at {self.path}") from None
+            return max(versions)
 
     def _meta_path(self, version: int) -> str:
         return os.path.join(self._meta_dir, f"v{version:06d}.json")
@@ -91,21 +117,14 @@ class SnapshotTable:
     def metadata(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
             version = self.current_version()
-        with open(self._meta_path(version)) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._meta_path(version)))
 
     def _commit(self, meta: dict[str, Any]) -> None:
-        """Write manifest then atomically swing the pointer."""
+        """Write manifest then swing the pointer (manifest write is the
+        commit; the pointer is a hint — see current_version)."""
         version = meta["version"]
-        mp = self._meta_path(version)
-        tmp = mp + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, mp)
-        ptr_tmp = self._pointer_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(ptr_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(ptr_tmp, self._pointer_path())
+        self.fs.write_text_atomic(self._meta_path(version), json.dumps(meta))
+        self.fs.write_text_atomic(self._pointer_path(), str(version))
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.metadata(version)["schema"])
@@ -114,7 +133,11 @@ class SnapshotTable:
         return list(self.metadata()["key_cols"])
 
     def exists(self) -> bool:
-        return os.path.exists(self._pointer_path())
+        if self.fs.exists(self._pointer_path()):
+            return True
+        return self.fs.exists(self._meta_dir) and any(
+            _VERSION_RE.match(n) for n in self.fs.listdir(self._meta_dir)
+        )
 
     def snapshot_history(self) -> list[dict[str, Any]]:
         out = []
@@ -143,12 +166,13 @@ class SnapshotTable:
         key_cols: list[str],
         n_buckets: int = 32,
         column_defaults: dict[str, Any] | None = None,
+        fs=None,
     ) -> "SnapshotTable":
-        t = cls(path)
+        t = cls(path, fs=fs)
         if t.exists():
             raise ValueError(f"table already exists at {path}")
-        os.makedirs(t._meta_dir, exist_ok=True)
-        os.makedirs(t._data_dir, exist_ok=True)
+        t.fs.makedirs(t._meta_dir)
+        t.fs.makedirs(t._data_dir)
         meta = {
             "version": 0,
             "operation": "create",
@@ -158,6 +182,11 @@ class SnapshotTable:
             "n_buckets": n_buckets,
             # bucket id (str) -> list of parquet directories holding its rows
             "buckets": {},
+            # data dir -> physical column list recorded at write time
+            # (Iceberg records a schema-id per data file; this replaces the
+            # round-1 driver-side parquet-footer sniffing, which was both a
+            # serial cost per merge and a POSIX-only code path)
+            "data_columns": {},
             "renames": [],  # list of [old_physical_name, new_name]
             "column_defaults": column_defaults or {},
             "applied_batch_ids": [],
@@ -167,18 +196,14 @@ class SnapshotTable:
         return t
 
     # ----------------------------------------------------------------- read
-    @staticmethod
-    def _physical_columns(path: str) -> frozenset[str]:
-        """Physical column set of a data directory (parquet footer of one
-        file — all files in a commit dir share a schema). Iceberg records a
-        schema-id per data file in the manifest; footers are our stand-in."""
-        import pyarrow.parquet as pq
-
-        for root, _dirs, files in os.walk(path):
-            for f in sorted(files):
-                if f.endswith(".parquet"):
-                    return frozenset(pq.read_schema(os.path.join(root, f)).names)
-        return frozenset()
+    def _physical_columns(self, spark: SparkSession, path: str, meta: dict) -> frozenset[str]:
+        """Physical column set of a data directory: manifest-recorded at
+        write time (``data_columns``); legacy dirs fall back to Spark's own
+        footer-based schema inference (FS-agnostic)."""
+        cols = meta.get("data_columns", {}).get(path)
+        if cols is not None:
+            return frozenset(cols)
+        return frozenset(spark.read.parquet(path).schema.names)
 
     def _read_paths(self, spark: SparkSession, paths: list[str], meta: dict) -> DataFrame:
         """Read data files and reconcile them to the manifest schema.
@@ -199,7 +224,7 @@ class SnapshotTable:
 
         groups: dict[frozenset[str], list[str]] = {}
         for p in paths:
-            groups.setdefault(self._physical_columns(p), []).append(p)
+            groups.setdefault(self._physical_columns(spark, p, meta), []).append(p)
 
         parts: list[DataFrame] = []
         for phys, group_paths in groups.items():
@@ -253,8 +278,8 @@ class SnapshotTable:
             .parquet(out_dir)
         )
         mapping: dict[str, list[str]] = {}
-        if os.path.exists(out_dir):
-            for name in os.listdir(out_dir):
+        if self.fs.exists(out_dir):
+            for name in self.fs.listdir(out_dir):
                 if name.startswith(f"{BUCKET_COL}="):
                     b = name.split("=", 1)[1]
                     mapping[b] = [os.path.join(out_dir, name)]
@@ -270,12 +295,17 @@ class SnapshotTable:
         out = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         out = out.withColumn(BUCKET_COL, _bucket_expr(meta["key_cols"], meta["n_buckets"]))
         buckets = self._write_buckets(out, version)
+        written_cols = [f.name for f in schema.fields]
+        data_columns = {
+            p: written_cols for paths in buckets.values() for p in paths
+        }
         new_meta = dict(meta)
         new_meta.update(
             version=version,
             operation="overwrite",
             timestamp=time.time(),
             buckets=buckets,
+            data_columns=data_columns,
             batch_id=batch_id,
             applied_batch_ids=meta.get("applied_batch_ids", []) + ([batch_id] if batch_id else []),
         )
@@ -370,12 +400,20 @@ class SnapshotTable:
             buckets.pop(str(b), None)
         for b, paths in new_buckets_map.items():
             buckets[b] = paths
+        live = {p for paths in buckets.values() for p in paths}
+        data_columns = {
+            p: cols for p, cols in meta.get("data_columns", {}).items() if p in live
+        }
+        for paths in new_buckets_map.values():
+            for p in paths:
+                data_columns[p] = data_cols
         new_meta = dict(meta)
         new_meta.update(
             version=version,
             operation="merge",
             timestamp=time.time(),
             buckets=buckets,
+            data_columns=data_columns,
             batch_id=batch_id,
             applied_batch_ids=meta.get("applied_batch_ids", []) + ([batch_id] if batch_id else []),
             summary={"source_rows": n_src, "affected_buckets": len(affected)},
@@ -436,4 +474,4 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- cleanup
     def drop(self) -> None:
-        shutil.rmtree(self.path, ignore_errors=True)
+        self.fs.delete(self.path)

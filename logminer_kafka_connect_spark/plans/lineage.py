@@ -24,41 +24,38 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from logminer_kafka_connect_spark.plans.fs import LocalFS
+
 
 class LineageLog:
-    def __init__(self, path: str):
+    def __init__(self, path: str, fs=None):
         self.path = path
+        self.fs = fs or LocalFS()
         self._batches = os.path.join(path, "batches.jsonl")
         self._parts_dir = os.path.join(path, "partitions")
-        os.makedirs(self._parts_dir, exist_ok=True)
+        self.fs.makedirs(self._parts_dir)
 
     def record_batch(self, record: dict[str, Any], partition_df: DataFrame | None = None) -> None:
         if partition_df is not None:
             out = os.path.join(self._parts_dir, f"batch-{record['batch_id']}")
             partition_df.write.mode("overwrite").parquet(out)
-        tmp = self._batches + f".tmp-{uuid.uuid4().hex}"
         existing = ""
-        if os.path.exists(self._batches):
-            with open(self._batches) as f:
-                existing = f.read()
-        with open(tmp, "w") as f:
-            f.write(existing + json.dumps(record) + "\n")
-        os.replace(tmp, self._batches)
+        if self.fs.exists(self._batches):
+            existing = self.fs.read_text(self._batches)
+        self.fs.write_text_atomic(self._batches, existing + json.dumps(record) + "\n")
 
     def batches(self) -> list[dict[str, Any]]:
-        if not os.path.exists(self._batches):
+        if not self.fs.exists(self._batches):
             return []
         out = []
-        with open(self._batches) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    out.append(json.loads(line))
+        for line in self.fs.read_text(self._batches).splitlines():
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
         return out
 
     def last_batch(self) -> dict[str, Any] | None:
@@ -69,6 +66,6 @@ class LineageLog:
         return {b["batch_id"] for b in self.batches()}
 
     def partition_lineage(self, spark: SparkSession) -> DataFrame | None:
-        if not os.listdir(self._parts_dir):
+        if not self.fs.listdir(self._parts_dir):
             return None
         return spark.read.parquet(os.path.join(self._parts_dir, "batch-*"))

@@ -167,3 +167,64 @@ def test_atomic_pointer_snapshot_isolation(spark, tmpdir_path):
     snap = t.read(spark, version=t.current_version())
     t.merge(spark, _src(spark, [Row(url="u2", lang="de", n=2, **{OP_COL: "u", SET_COLS_COL: None})]), "b2")
     assert snap.count() == 1  # no dirty read
+
+
+def test_hadoop_fs_backend_full_lifecycle(spark, tmpdir_path):
+    """The cluster storage path: all metadata IO through the JVM Hadoop
+    FileSystem (file:// locally — the same code serves hdfs://, s3a://).
+    Create -> merge -> partial update -> delete -> evolve -> time travel."""
+    from logminer_kafka_connect_spark.plans.fs import HadoopFS
+
+    fs = HadoopFS(spark)
+    t = SnapshotTable.create(os.path.join(tmpdir_path, "ht"), SCHEMA, ["url"], 4, fs=fs)
+    t.merge(
+        spark,
+        _src(
+            spark,
+            [
+                Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None}),
+                Row(url="u2", lang="de", n=2, **{OP_COL: "u", SET_COLS_COL: None}),
+            ],
+        ),
+        batch_id="b1",
+    )
+    t.merge(
+        spark,
+        _src(
+            spark,
+            [
+                Row(url="u1", lang=None, n=9, **{OP_COL: "u", SET_COLS_COL: ["n"]}),
+                Row(url="u2", lang=None, n=None, **{OP_COL: "d", SET_COLS_COL: None}),
+            ],
+        ),
+        batch_id="b2",
+    )
+    state = {r["url"]: r for r in t.read(spark).collect()}
+    assert list(state) == ["u1"]
+    assert state["u1"]["lang"] == "en" and state["u1"]["n"] == 9  # partial kept lang
+    # schema evolution + reopen from a fresh handle (metadata only via fs)
+    t.add_column("score", T.IntegerType(), default=5)
+    t2 = SnapshotTable(os.path.join(tmpdir_path, "ht"), fs=fs)
+    assert [f.name for f in t2.schema().fields] == ["url", "lang", "n", "score"]
+    assert t2.read(spark).collect()[0]["score"] == 5
+    # time travel to pre-delete version
+    v1 = {r["url"] for r in t2.read(spark, version=1).collect()}
+    assert v1 == {"u1", "u2"}
+    # idempotent replay through the hadoop backend
+    stats = t2.merge(spark, _src(spark, []), batch_id="b2")
+    assert not stats.applied
+
+
+def test_version_pointer_fallback_to_manifest_listing(spark, tmpdir_path):
+    """The CURRENT pointer is a hint: if it is missing (non-atomic rename
+    window on HDFS), readers recover the max manifest version."""
+    t = _mk(tmpdir_path)
+    t.merge(
+        spark,
+        _src(spark, [Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None})]),
+        batch_id="b1",
+    )
+    os.remove(os.path.join(tmpdir_path, "t", "metadata", "CURRENT"))
+    t2 = SnapshotTable(os.path.join(tmpdir_path, "t"))
+    assert t2.current_version() == 1
+    assert t2.read(spark).count() == 1
