@@ -158,7 +158,7 @@ def run_scaling(results: dict) -> dict:
     # fastest observation per level approximates the uncontended time for
     # both levels fairly (all runs are listed in the output for
     # transparency).
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     eps_runs: dict[int, list[float]] = {BENCH_N: [], BENCH_N * 4: []}
     for _ in range(repeats):
         for lvl in (BENCH_N, BENCH_N * 4):

@@ -52,26 +52,34 @@ def filter_changes(events: DataFrame, selectors: list[TableSelector]) -> DataFra
     )
 
 
-def filter_markers(events: DataFrame) -> DataFrame:
+def marker_predicate() -> Column:
     """F2 (marker side) + F3 system-user filter on commit/rollback rows.
     The reference applies ``WHERE ROLLBACK = 0`` to the *whole* scan
     including the marker branch (``LogminerSession.kt:185-187``) — a marker
     row carrying rollback=1 must not be honored as a txn terminator."""
-    return events.filter(
+    return (
         F.col("op_code").isin(OP_COMMIT, OP_ROLLBACK)
         & (F.col("rollback") == 0)  # F1 applies to markers too
         & ~F.coalesce(F.col("username").isin(*SYSTEM_USERS), F.lit(False))  # F3
     )
 
 
-def filter_ddl(events: DataFrame, selectors: list[TableSelector]) -> DataFrame:
+def filter_markers(events: DataFrame) -> DataFrame:
+    return events.filter(marker_predicate())
+
+
+def ddl_predicate(selectors: list[TableSelector]) -> Column:
     """DDL events for monitored tables (T9). DDL auto-commits: its
     commit_scn is its own scn."""
-    return events.filter(
+    return (
         (F.col("op_code") == OP_DDL)
         & (F.col("status") != STATUS_UNREADABLE)
         & selector_predicate(selectors)
     )
+
+
+def filter_ddl(events: DataFrame, selectors: list[TableSelector]) -> DataFrame:
+    return events.filter(ddl_predicate(selectors))
 
 
 def skip_to_offset(events: DataFrame, last_scn: int, last_row_id: str | None = None) -> DataFrame:

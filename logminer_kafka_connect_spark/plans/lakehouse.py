@@ -313,7 +313,13 @@ class SnapshotTable:
         return MergeStats(True, version, len(buckets), -1)
 
     # ---------------------------------------------------------------- merge
-    def merge(self, spark: SparkSession, source: DataFrame, batch_id: str | None = None) -> MergeStats:
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        batch_id: str | None = None,
+        prune_buckets: bool = True,
+    ) -> MergeStats:
         """MERGE INTO this table (J6/S7 in SURVEY.md §2.4).
 
         ``source`` contract: one row per key (caller dedups via the A6
@@ -336,6 +342,15 @@ class SnapshotTable:
 
         Only buckets present in the source are read/rewritten; the join is
         a per-bucket full-outer on the key, both sides already hashed on it.
+
+        ``prune_buckets=False`` is the bulk-replay plan: when the batch is
+        known to touch (nearly) every bucket — an initial full-log replay —
+        the per-bucket pre-count job and its persist round-trip buy nothing;
+        the source pipeline streams straight into the join+write as ONE job
+        and stats come from ``Observation`` metrics collected during that
+        job (no extra action). Incremental microbatches keep the pruned
+        (default) plan — at 100 TB that is the difference between rewriting
+        batch-sized slices and rewriting the table.
         """
         meta = self.metadata()
         if batch_id is not None and batch_id in set(meta.get("applied_batch_ids", [])):
@@ -346,15 +361,34 @@ class SnapshotTable:
         schema = T.StructType.fromJson(meta["schema"])
         data_cols = [f.name for f in schema.fields]
 
+        timing = os.environ.get("LMKC_TIMING") == "1"
+        t0 = time.time()
         src = source.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
-        src = src.persist()
+        obs = None
+        if prune_buckets:
+            src = src.persist()
         try:
-            per_bucket = src.groupBy(BUCKET_COL).count().collect()
-            affected = [r[BUCKET_COL] for r in per_bucket]
-            n_src = sum(r["count"] for r in per_bucket)
+            if prune_buckets:
+                per_bucket = src.groupBy(BUCKET_COL).count().collect()
+                if timing:
+                    print(f"## merge: source pipeline+count {time.time() - t0:.2f}s", flush=True)
+                    t0 = time.time()
+                affected = [r[BUCKET_COL] for r in per_bucket]
+                n_src = sum(r["count"] for r in per_bucket)
+            else:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                src = src.observe(obs, F.count(F.lit(1)).alias("n_src"))
+                affected = [int(b) for b in meta["buckets"].keys()] or list(range(n_buckets))
+                affected = sorted(set(affected) | set(range(n_buckets)))
+                n_src = -1  # resolved from obs after the write job
             target = self.read_buckets(spark, affected).withColumn(
                 BUCKET_COL, _bucket_expr(key_cols, n_buckets)
             )
+            if timing:
+                print(f"## merge: read_buckets build {time.time() - t0:.2f}s", flush=True)
+                t0 = time.time()
 
             # Join on (bucket, key) with both sides hash-partitioned on the
             # bucket: HashPartitioning(bucket) satisfies the clustered
@@ -391,9 +425,18 @@ class SnapshotTable:
             merged_df = joined.filter(keep).select(*out_cols, bucket_out)
 
             version = meta["version"] + 1
+            if timing:
+                print(f"## merge: plan build {time.time() - t0:.2f}s", flush=True)
+                t0 = time.time()
             new_buckets_map = self._write_buckets(merged_df, version, pre_partitioned=True)
+            if timing:
+                print(f"## merge: write job {time.time() - t0:.2f}s", flush=True)
+                t0 = time.time()
+            if obs is not None:
+                n_src = int(obs.get["n_src"])
         finally:
-            src.unpersist()
+            if prune_buckets:
+                src.unpersist()
 
         buckets = dict(meta["buckets"])
         for b in affected:

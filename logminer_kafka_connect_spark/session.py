@@ -63,6 +63,13 @@ def get_spark(
         # while the extra compression CPU parallelizes with the tasks
         .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # v2 commits task output at task end (parallel renames) instead of
+        # serially in the driver's job commit — the merge writes one dir per
+        # bucket, so v1's driver-side merge was a measured non-scaling cost
+        # per MERGE (single-writer table; v2's weaker failure atomicity is
+        # covered by the manifest: a commit dir is referenced only after the
+        # metadata swap)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

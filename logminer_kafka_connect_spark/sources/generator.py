@@ -99,6 +99,9 @@ class GeneratorConfig:
     owner: str = "CRAWL"
     table: str = "PAGES"
     base_columns: tuple = ("URL", "WARC_TS", "HTML", "LANG")
+    # fraction of txns that hit a second monitored table (CRAWL.LINKS,
+    # schema link_id/src_url/href/anchor) — multi-table routing fixtures
+    p_links_txn: float = 0.0
 
     @property
     def ddl_add_txn(self) -> int:
@@ -178,26 +181,26 @@ class CdcGenerator:
         return f"TIMESTAMP '{_fmt_ts(local.replace(tzinfo=None))} Europe/Berlin {abbrev}'"
 
     # --------------------------------------------------------------- sql gen
-    def _qualified(self) -> str:
-        return f'"{self.cfg.owner}"."{self.cfg.table}"'
+    def _qualified(self, table: str | None = None) -> str:
+        return f'"{self.cfg.owner}"."{table or self.cfg.table}"'
 
-    def _insert_sql(self, values: dict[str, str]) -> str:
+    def _insert_sql(self, values: dict[str, str], table: str | None = None) -> str:
         cols = ",".join(f'"{c}"' for c in values)
         vals = ",".join(values.values())
-        return f"insert into {self._qualified()}({cols}) values ({vals})"
+        return f"insert into {self._qualified(table)}({cols}) values ({vals})"
 
-    def _update_sql(self, sets: dict[str, str], where: dict[str, str]) -> str:
+    def _update_sql(self, sets: dict[str, str], where: dict[str, str], table: str | None = None) -> str:
         set_part = ", ".join(f'"{c}" = {v}' for c, v in sets.items())
         where_part = " and ".join(
             f'"{c}" IS NULL' if v is None else f'"{c}" = {v}' for c, v in where.items()
         )
-        return f"update {self._qualified()} set {set_part} where {where_part}"
+        return f"update {self._qualified(table)} set {set_part} where {where_part}"
 
-    def _delete_sql(self, where: dict[str, str]) -> str:
+    def _delete_sql(self, where: dict[str, str], table: str | None = None) -> str:
         where_part = " and ".join(
             f'"{c}" IS NULL' if v is None else f'"{c}" = {v}' for c, v in where.items()
         )
-        return f"delete from {self._qualified()} where {where_part}"
+        return f"delete from {self._qualified(table)} where {where_part}"
 
     # ----------------------------------------------------------- txn builder
     def txn_rows(self, txn_id: int) -> tuple[list[dict], list[dict]]:
@@ -231,9 +234,17 @@ class CdcGenerator:
             return events, ops
 
         is_noise = rng.random() < cfg.p_noise_txn
+        # guarded draw: with the links table off this consumes no randomness,
+        # keeping single-table workloads bit-identical across versions
+        is_links = (
+            not is_noise and cfg.p_links_txn > 0 and rng.random() < cfg.p_links_txn
+        )
         n_changes = 1 + int(rng.poisson(cfg.avg_changes - 1))
         committed = rng.random() >= cfg.p_rollback_txn
         commit_scn = start_scn + n_changes + 1 + int(rng.integers(1, 5 * SCN_GAP))
+
+        if is_links:
+            return self._links_txn(txn_id, rng, start_scn, xid, n_changes, committed, commit_scn)
 
         if is_noise:
             # F3/F4 noise: system user, non-monitored table.
@@ -300,6 +311,60 @@ class CdcGenerator:
         )
         return events, ops
 
+    def _links_txn(self, txn_id, rng, start_scn, xid, n_changes, committed, commit_scn):
+        """A transaction against the second monitored table (CRAWL.LINKS,
+        key = LINK_ID) — interleaves with PAGES txns so multi-table routing
+        is exercised under real commit ordering."""
+        cfg = self.cfg
+        events: list[dict] = []
+        ops: list[dict] = []
+        for j in range(n_changes):
+            scn = start_scn + j
+            row_id = f"LNKQ{txn_id:07d}{j:03d}"
+            link_id = f"L{int(rng.integers(cfg.n_urls * 2))}"
+            kind = rng.random()
+            if kind < 0.5:
+                src = self._url(int(rng.integers(cfg.n_urls)))
+                href = self._url(int(rng.integers(cfg.n_urls)))
+                anchor = None if rng.random() < 0.2 else f"anchor {int(rng.integers(1000))}"
+                sql = self._insert_sql(
+                    {
+                        "LINK_ID": f"'{link_id}'",
+                        "SRC_URL": f"'{_esc(src)}'",
+                        "HREF": f"'{_esc(href)}'",
+                        "ANCHOR": "NULL" if anchor is None else f"'{_esc(anchor)}'",
+                    },
+                    table="LINKS",
+                )
+                op_code = OP_INSERT
+                op = {"table": "LINKS", "kind": "insert", "key": link_id,
+                      "values": {"src_url": src, "href": href, "anchor": anchor}}
+            elif kind < 0.85:
+                anchor = f"anchor {int(rng.integers(1000))}"
+                sql = self._update_sql(
+                    {"ANCHOR": f"'{_esc(anchor)}'"},
+                    {"LINK_ID": f"'{link_id}'"},
+                    table="LINKS",
+                )
+                op_code = OP_UPDATE
+                op = {"table": "LINKS", "kind": "update", "key": link_id,
+                      "values": {"anchor": anchor}}
+            else:
+                sql = self._delete_sql({"LINK_ID": f"'{link_id}'"}, table="LINKS")
+                op_code = OP_DELETE
+                op = {"table": "LINKS", "kind": "delete", "key": link_id, "values": {}}
+            op.update(scn=scn, row_id=row_id, txn_id=txn_id, commit_scn=commit_scn)
+            events.append(self._event(scn, op_code, sql, row_id, xid, table="LINKS"))
+            if committed:
+                ops.append(op)
+        marker_op = OP_COMMIT if committed else OP_ROLLBACK
+        events.append(
+            self._event(commit_scn, marker_op, OPERATION_NAMES[marker_op].lower(),
+                        f"LNKQ{txn_id:07d}END", xid, owner=None, table=None,
+                        commit_scn=commit_scn)
+        )
+        return events, ops
+
     def _gen_insert(self, rng, txn_id, url, url_id, scn, ts, extra_col) -> dict:
         html = self._html(url_id, scn)
         lang = _LANGS[int(rng.integers(len(_LANGS)))] if rng.random() > 0.1 else None
@@ -362,7 +427,9 @@ class CdcGenerator:
                username="CRAWLER", commit_scn=None, rollback=0, status=0,
                csf=False, seq=0) -> dict:
         if owner == "CRAWL":
-            owner, table = self.cfg.owner, self.cfg.table
+            owner = self.cfg.owner
+            if table == "PAGES":
+                table = self.cfg.table
         return {
             "scn": scn, "commit_scn": commit_scn,
             "ts": EPOCH + timedelta(seconds=scn - SCN0),
@@ -465,6 +532,8 @@ class CdcGenerator:
                 state[r["url"]] = dict(r)
 
         for op in sorted(self.ops(), key=lambda o: (o["commit_scn"], o["scn"], o["row_id"])):
+            if op.get("table") == "LINKS":
+                continue  # second table reduced by expected_links_state
             kind = op["kind"]
             if kind == "ddl_add":
                 col = op["column"].lower()
@@ -497,6 +566,27 @@ class CdcGenerator:
         recs = [{c: row.get(c) for c in columns} for row in state.values()]
         out = pd.DataFrame(recs, columns=columns)
         return out.sort_values("url").reset_index(drop=True)
+
+    def expected_links_state(self) -> pd.DataFrame:
+        """Pure-pandas oracle for the second table (CRAWL.LINKS)."""
+        state: dict[str, dict[str, Any]] = {}
+        columns = ["link_id", "src_url", "href", "anchor"]
+        links_ops = (o for o in self.ops() if o.get("table") == "LINKS")
+        for op in sorted(links_ops, key=lambda o: (o["commit_scn"], o["scn"], o["row_id"])):
+            key = op["key"]
+            if op["kind"] == "delete":
+                state.pop(key, None)
+                continue
+            if op["kind"] == "insert" or key not in state:
+                row = {c: None for c in columns}
+                row["link_id"] = key
+            else:
+                row = state[key]
+            for k, v in op["values"].items():
+                row[k] = v
+            state[key] = row
+        recs = [{c: row.get(c) for c in columns} for row in state.values()]
+        return pd.DataFrame(recs, columns=columns).sort_values("link_id").reset_index(drop=True)
 
 
 ZoneInfoBerlin = ZoneInfo("Europe/Berlin")

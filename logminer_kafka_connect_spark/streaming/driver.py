@@ -26,6 +26,7 @@ Two front-ends share ``process_range``:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -95,6 +96,9 @@ class ReplayDriver:
         # Dead-letter parquet for rows that still fail after the refresh —
         # loud, replayable, never silently dropped.
         self.quarantine_dir = quarantine_dir
+        # Bulk-replay plan switch: skip the per-bucket pre-count when a
+        # batch is known to touch ~every bucket (see SnapshotTable.merge).
+        self.prune_buckets = True
 
     # ------------------------------------------------- parse-failure routing
     def _resolve_schema_misses(self, parsed: DataFrame) -> bool:
@@ -186,7 +190,9 @@ class ReplayDriver:
             source = build_merge_source_typed(
                 good, schema, key_col=self.key_col, db_timezone=self.db_timezone
             )
-            stats = self.table.merge(self.spark, source, batch_id=batch_id)
+            stats = self.table.merge(
+                self.spark, source, batch_id=batch_id, prune_buckets=self.prune_buckets
+            )
             n_changes = stats.source_rows
             if self.track_parse_errors or self.track_partition_lineage:
                 parsed.unpersist()
@@ -219,23 +225,43 @@ class ReplayDriver:
 
     # ------------------------------------------------------- bounded replay
     def plan_ranges(self, events: DataFrame, n_batches: int, start_scn: int | None = None) -> tuple[list[tuple[int, int]], dict[int, DdlEvent]]:
-        """Deterministic commit-SCN ranges, split at DDL boundaries."""
-        ddls: dict[int, DdlEvent] = {}
-        for r in filter_ddl(events, self.selectors).select("scn", "sql_redo").collect():
-            if start_scn is not None and r["scn"] <= start_scn:
-                continue
-            ev = parse_ddl(r["scn"], r["sql_redo"])
-            if ev is not None:
-                ddls[r["scn"]] = ev
+        """Deterministic commit-SCN ranges, split at DDL boundaries.
 
-        markers_span = (
-            consolidate_span(events, self.selectors, start_scn)
+        One job over the log: the marker-SCN span (min/max aggregate) and
+        the (rare) DDL rows are gathered in a single filtered aggregation
+        instead of two full scans — per-poll planning cost must stay O(1)
+        jobs on a 10^10-event log."""
+        from logminer_kafka_connect_spark.operators.filters import (
+            ddl_predicate,
+            marker_predicate,
         )
-        if markers_span is None:
+
+        ev = events
+        if start_scn is not None:
+            ev = ev.filter(F.col("scn") > start_scn)
+        is_m, is_d = marker_predicate(), ddl_predicate(self.selectors)
+        row = (
+            ev.filter(is_m | is_d)
+            .agg(
+                F.min(F.when(is_m, F.col("scn"))).alias("lo"),
+                F.max(F.when(is_m, F.col("scn"))).alias("hi"),
+                F.collect_list(
+                    F.when(is_d, F.struct("scn", "sql_redo"))
+                ).alias("ddl_rows"),
+            )
+            .collect()[0]
+        )
+        ddls: dict[int, DdlEvent] = {}
+        for r in row["ddl_rows"]:
+            e = parse_ddl(r["scn"], r["sql_redo"])
+            if e is not None:
+                ddls[r["scn"]] = e
+
+        if row["lo"] is None:
             # no commits at all — any DDLs still apply (handled by the
             # trailing-DDL sweep in replay())
             return [], ddls
-        lo, hi = markers_span
+        lo, hi = row["lo"], row["hi"]
         if ddls:
             lo = min(lo, min(ddls.keys()))  # DDL before the first commit
         width = max(1, (hi - lo + n_batches) // n_batches)
@@ -254,6 +280,8 @@ class ReplayDriver:
         the lineage log)."""
         t0 = time.time()
         ranges, ddls = self.plan_ranges(events, n_batches, start_scn)
+        if os.environ.get("LMKC_TIMING") == "1":
+            print(f"## replay: plan_ranges {time.time() - t0:.2f}s", flush=True)
         n_applied = 0
         n_errors = 0
         done = 0
@@ -319,7 +347,9 @@ class ReplayDriver:
             source = build_merge_source_typed(
                 good, schema, key_col=self.key_col, db_timezone=self.db_timezone
             )
-            stats = self.table.merge(self.spark, source, batch_id=batch_id)
+            stats = self.table.merge(
+                self.spark, source, batch_id=batch_id, prune_buckets=self.prune_buckets
+            )
             n_changes = stats.source_rows
             parsed.unpersist()
         span = markers.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
@@ -429,16 +459,3 @@ class ReplayDriver:
             .trigger(availableNow=True)
             .start()
         )
-
-
-def consolidate_span(events: DataFrame, selectors: list[TableSelector], start_scn: int | None) -> tuple[int, int] | None:
-    """[min, max] commit-marker SCN over monitored activity."""
-    from logminer_kafka_connect_spark.operators.filters import filter_markers
-
-    m = filter_markers(events)
-    if start_scn is not None:
-        m = m.filter(F.col("scn") > start_scn)
-    row = m.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
-    if row["lo"] is None:
-        return None
-    return row["lo"], row["hi"]

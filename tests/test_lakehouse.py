@@ -228,3 +228,26 @@ def test_version_pointer_fallback_to_manifest_listing(spark, tmpdir_path):
     t2 = SnapshotTable(os.path.join(tmpdir_path, "t"))
     assert t2.current_version() == 1
     assert t2.read(spark).count() == 1
+
+
+def test_bulk_merge_plan_matches_pruned(spark, tmpdir_path):
+    """prune_buckets=False (bulk-replay plan: no pre-count job, stats via
+    Observation) produces the identical table state and source_rows."""
+    rows1 = [
+        Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None}),
+        Row(url="u2", lang="de", n=2, **{OP_COL: "u", SET_COLS_COL: None}),
+    ]
+    rows2 = [
+        Row(url="u1", lang=None, n=7, **{OP_COL: "u", SET_COLS_COL: ["n"]}),
+        Row(url="u2", lang=None, n=None, **{OP_COL: "d", SET_COLS_COL: None}),
+        Row(url="u3", lang="fr", n=3, **{OP_COL: "u", SET_COLS_COL: None}),
+    ]
+    ta = _mk(os.path.join(tmpdir_path, "a"))
+    tb = SnapshotTable.create(os.path.join(tmpdir_path, "b", "t"), SCHEMA, ["url"], 4)
+    for t_, prune in ((ta, True), (tb, False)):
+        s1 = t_.merge(spark, _src(spark, rows1), batch_id="b1", prune_buckets=prune)
+        s2 = t_.merge(spark, _src(spark, rows2), batch_id="b2", prune_buckets=prune)
+        assert (s1.source_rows, s2.source_rows) == (2, 3)
+    a = sorted(map(tuple, ta.read(spark).collect()))
+    b = sorted(map(tuple, tb.read(spark).collect()))
+    assert a == b

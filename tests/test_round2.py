@@ -220,3 +220,23 @@ def test_ann_recall_floor(spark):
     rec = entry_queries.QUERIES["ann_recall"](spark, sf_dir)
     mean = rec.agg(F.avg("recall_at_k").alias("m")).collect()[0]["m"]
     assert mean >= 0.6, f"LSH ANN mean recall@3 too low: {mean}"
+
+
+# ------------------------------------------------- F7 fine-grained resume
+def test_skip_to_offset_row_id_granularity(spark, tmpdir_path):
+    """F7 — resume mid-SCN: changes at the resume SCN with row_id at or
+    below the offset are skipped; later row_ids at the same SCN replay
+    (the reference's cursor semantics, LogminerFetcher.kt:51,74-101)."""
+    rows = [
+        _ev(100, 1, 'insert into "CRAWL"."PAGES"("URL","LANG") values (\'http://a\',\'en\')',
+            xid="t1", row_id="r1"),
+        _ev(100, 1, 'insert into "CRAWL"."PAGES"("URL","LANG") values (\'http://b\',\'de\')',
+            xid="t1", row_id="r2"),
+        _ev(101, 1, 'insert into "CRAWL"."PAGES"("URL","LANG") values (\'http://c\',\'fr\')',
+            xid="t1", row_id="r3"),
+        _ev(110, 7, xid="t1"),
+    ]
+    engine = CdcEngine(spark, tmpdir_path, n_buckets=4)
+    engine.replay(_events_df(spark, rows), n_batches=1, start_offset=(100, "r1"))
+    urls = sorted(r["url"] for r in engine.state().select("url").collect())
+    assert urls == ["http://b", "http://c"]  # r1 skipped, r2 at same scn kept
