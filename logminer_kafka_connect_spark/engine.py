@@ -10,6 +10,7 @@ initial snapshot (T4), then replay the change log in commit-SCN microbatches
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -43,6 +44,7 @@ class CdcEngine:
         key_col: str = "url",
         schema_provider=None,
         fs=None,
+        salt_chunks: int | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -62,15 +64,90 @@ class CdcEngine:
             schema_provider=schema_provider,
             quarantine_dir=os.path.join(workdir, "quarantine"),
         )
+        self.driver.salt_chunks = salt_chunks
 
     def load_snapshot(self, source: DataFrame, snapshot_scn: int) -> dict:
         return load_snapshot(self.table, source, snapshot_scn)
 
-    def replay(self, events: DataFrame, n_batches: int = 8, start_scn: int | None = None) -> ReplayStats:
-        return self.driver.replay(events, n_batches=n_batches, start_scn=start_scn)
+    def replay(
+        self,
+        events: DataFrame,
+        n_batches: int = 8,
+        start_scn: int | None = None,
+        start_offset: tuple[int, str] | None = None,
+    ) -> ReplayStats:
+        return self.driver.replay(
+            events, n_batches=n_batches, start_scn=start_scn, start_offset=start_offset
+        )
 
     def run_streaming(self, events_path: str, checkpoint_dir: str, **kw):
         return self.driver.run_streaming(events_path, checkpoint_dir, **kw)
 
     def state(self) -> DataFrame:
         return self.table.read(self.spark)
+
+
+@dataclass
+class TableSpec:
+    """Declaration of one monitored table (reference: the whitelist entries
+    expanded by SourceTask.kt:46-63 with schemas from SchemaService)."""
+
+    owner: str
+    table: str
+    schema: T.StructType
+    key_col: str
+
+
+class MultiTableCdcEngine:
+    """N monitored tables fed by one redo log — per-table SnapshotTables,
+    schemas, and key columns; shared consolidation scan per microbatch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        specs: list[TableSpec],
+        n_buckets: int = 32,
+        fs=None,
+        schema_provider=None,
+        salt_chunks: int | None = None,
+    ):
+        from logminer_kafka_connect_spark.streaming.driver import (
+            MultiTableReplayDriver,
+            TableBinding,
+        )
+
+        self.spark = spark
+        self.workdir = workdir
+        self._tables: dict[str, SnapshotTable] = {}
+        bindings = []
+        for spec in specs:
+            path = os.path.join(workdir, "tables", f"{spec.owner}.{spec.table}")
+            t = SnapshotTable(path, fs=fs)
+            if not t.exists():
+                t = SnapshotTable.create(
+                    path, spec.schema, [spec.key_col], n_buckets=n_buckets, fs=fs
+                )
+            self._tables[spec.table] = t
+            bindings.append(TableBinding(spec.owner, spec.table, t, spec.key_col))
+        self.lineage = LineageLog(os.path.join(workdir, "lineage"), fs=fs)
+        self.driver = MultiTableReplayDriver(
+            spark,
+            bindings,
+            self.lineage,
+            schema_provider=schema_provider,
+            quarantine_dir=os.path.join(workdir, "quarantine"),
+        )
+        self.driver.salt_chunks = salt_chunks
+
+    def table(self, name: str) -> SnapshotTable:
+        return self._tables[name]
+
+    def load_snapshot(self, name: str, source: DataFrame, snapshot_scn: int) -> dict:
+        return load_snapshot(self._tables[name], source, snapshot_scn)
+
+    def replay(self, events: DataFrame, n_batches: int = 8, start_scn: int | None = None) -> ReplayStats:
+        return self.driver.replay(events, n_batches=n_batches, start_scn=start_scn)
+
+    def state(self, name: str) -> DataFrame:
+        return self._tables[name].read(self.spark)

@@ -679,6 +679,69 @@ def cdc_replay(spark, sf_dir):
     )
 
 
+@_q("cdc_replay_multi")
+def cdc_replay_multi(spark, sf_dir):
+    """Multi-table CDC routing: one interleaved redo log replayed into TWO
+    tables (CRAWL.PAGES + CRAWL.LINKS) with separate schemas/keys — the
+    reference's topic-per-table emission (SourceTask.kt:46-63). Rows-only;
+    per-table state is pinned against independent pandas oracles in
+    tests/test_multitable.py."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from logminer_kafka_connect_spark.engine import (
+        PAGES_SCHEMA,
+        MultiTableCdcEngine,
+        TableSpec,
+    )
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+
+    links_schema = T.StructType(
+        [
+            T.StructField("link_id", T.StringType(), False),
+            T.StructField("src_url", T.StringType(), True),
+            T.StructField("href", T.StringType(), True),
+            T.StructField("anchor", T.StringType(), True),
+        ]
+    )
+    sf = "0.001" if "0.001" in sf_dir else ("0.01" if "0.01" in sf_dir else "0.1")
+    n_txns = {"0.001": 60, "0.01": 200, "0.1": 600}[sf]
+    gen = CdcGenerator(
+        GeneratorConfig(
+            seed=43, n_txns=n_txns, n_urls=n_txns * 2, n_snapshot=n_txns // 2,
+            p_links_txn=0.3,
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="lmkc-multi-")
+    engine = MultiTableCdcEngine(
+        spark,
+        workdir,
+        [
+            TableSpec("CRAWL", "PAGES", PAGES_SCHEMA, "url"),
+            TableSpec("CRAWL", "LINKS", links_schema, "link_id"),
+        ],
+        n_buckets=8,
+    )
+    engine.load_snapshot("PAGES", gen.snapshot_df(spark), SCN0 - 1)
+    engine.replay(gen.events_df(spark), n_batches=3)
+    pages = engine.state("PAGES").select(
+        F.lit("PAGES").alias("table"),
+        F.col("url").alias("key"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("payload_md5"),
+    )
+    links = engine.state("LINKS").select(
+        F.lit("LINKS").alias("table"),
+        F.col("link_id").alias("key"),
+        F.md5(F.concat_ws("|", "src_url", "href", "anchor")).alias("payload_md5"),
+    )
+    return pages.unionByName(links)
+
+
 @_q("cdc_envelope")
 def cdc_envelope(spark, sf_dir):
     """S6/S7: Debezium-style envelope stream (the reference's actual output

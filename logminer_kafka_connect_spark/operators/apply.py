@@ -135,26 +135,41 @@ def build_merge_source_typed(
     schema: T.StructType,
     key_col: str = "url",
     db_timezone: str = "UTC",
+    salt_chunks: int | None = None,
+    scn_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Typed net-effect -> SnapshotTable.merge contract (same semantics as
-    ``build_merge_source``; casts/extraction run on net rows only)."""
+    ``build_merge_source``; casts/extraction run on net rows only).
+    ``salt_chunks``/``scn_bounds`` switch on the salted hot-key partial
+    fold (C11; see operators.dedup)."""
     from logminer_kafka_connect_spark.operators.dedup import net_effect_typed
 
-    net = net_effect_typed(parsed, schema.fields, key_col=key_col)
+    net = net_effect_typed(
+        parsed, schema.fields, key_col=key_col,
+        salt_chunks=salt_chunks, scn_bounds=scn_bounds,
+    )
     img = F.col("__net.img")
     deleted = F.col("__net.deleted")
     fresh = F.col("__net.fresh")
     cols = F.col("__net.cols")
 
-    has_html = F.when(
-        cols.isNull(), img[HTML_SOURCE_COL].isNotNull()
-    ).otherwise(F.array_contains(cols, HTML_SOURCE_COL))
+    # html -> text derivation (P5) applies only to tables that carry both
+    # columns (the pages table); other monitored tables pass through
+    field_names = {f.name for f in schema.fields}
+    derives_text = HTML_SOURCE_COL in field_names and DERIVED_TEXT_COL in field_names
+    has_html = (
+        F.when(cols.isNull(), img[HTML_SOURCE_COL].isNotNull()).otherwise(
+            F.array_contains(cols, HTML_SOURCE_COL)
+        )
+        if derives_text
+        else F.lit(False)
+    )
 
     out: list[Column] = []
     for field in schema.fields:
         if field.name == key_col:
             out.append(F.col(key_col).cast(field.dataType).alias(field.name))
-        elif field.name == DERIVED_TEXT_COL:
+        elif field.name == DERIVED_TEXT_COL and derives_text:
             text = F.when(has_html, extract_text_udf(img[HTML_SOURCE_COL])).otherwise(
                 F.lit(None).cast("string")
             )

@@ -74,7 +74,13 @@ def key_expr(key_col_upper: str):
     ).otherwise(F.try_element_at(F.col("before"), F.lit(key_col_upper)))
 
 
-def net_effect_typed(parsed: DataFrame, fields, key_col: str = "url") -> DataFrame:
+def net_effect_typed(
+    parsed: DataFrame,
+    fields,
+    key_col: str = "url",
+    salt_chunks: int | None = None,
+    scn_bounds: tuple[int, int] | None = None,
+) -> DataFrame:
     """Typed-image net-effect fold (the fast path; see
     ``functions.redo_parse.make_typed_parse_udf``).
 
@@ -84,9 +90,35 @@ def net_effect_typed(parsed: DataFrame, fields, key_col: str = "url") -> DataFra
     union of explicitly-set columns since the last reset (null = full
     image). Same overlay semantics as the generic fold, but the payload is
     typed/binary (no JSON, no maps) and every expression is codegen-able.
+
+    ``salt_chunks`` switches on the explicit salted partial-fold for
+    hot-key skew (C11; the north_star's "explicit salted-repartition
+    stage"): each key's events are split into ``salt_chunks`` contiguous
+    commit-scn ranges (``scn_bounds`` = the batch's [lo, hi) commit range),
+    folded per (key, chunk) — so a 10%-hot url's html-sized event arrays
+    spread across up to ``salt_chunks`` tasks — then the ordered partials
+    combine per key (tiny second aggregation: one row per key per chunk).
+    The overlay fold is associative over scn-ordered segments, which is
+    what makes the two-phase split exact (pinned by
+    tests/test_salted_fold.py against the single-pass fold row-for-row).
     """
-    names = [f.name for f in fields]
-    img_ddl = (
+    if salt_chunks is not None:
+        parts = salted_partials(parsed, fields, key_col, salt_chunks, scn_bounds)
+        return combine_partials(parts, fields, key_col)
+    keyed = parsed.filter(F.col("key").isNotNull())
+    evs = F.array_sort(
+        F.collect_list(F.struct("commit_scn", "scn", "row_id", "op_code", "img", "set_cols"))
+    )
+    return (
+        keyed.groupBy(F.col("key").alias(key_col))
+        .agg(evs.alias("__evs"))
+        .withColumn("__net", F.expr(_typed_fold_expr(fields)))
+        .select(key_col, "__net")
+    )
+
+
+def _img_ddl(fields) -> str:
+    return (
         "struct<"
         + ",".join(
             f"{f.name}:{'binary' if f.dataType.typeName() == 'binary' else 'string'}"
@@ -94,8 +126,22 @@ def net_effect_typed(parsed: DataFrame, fields, key_col: str = "url") -> DataFra
         )
         + ">"
     )
-    null_img = f"cast(null as {img_ddl})"
-    empty_cols = "cast(array() as array<string>)"
+
+
+_EMPTY_COLS = "cast(array() as array<string>)"
+
+
+def _typed_fold_expr(fields) -> str:
+    """The ordered overlay fold over ``__evs`` (sorted event structs).
+
+    Output struct also carries ``had_reset`` (did any INSERT/DELETE occur),
+    which is what makes folded *partials* combinable: a partial containing
+    a reset is self-contained — everything before its last reset, including
+    any earlier partial, is discarded by the reset, exactly as in the
+    single-pass fold (see combine_partials).
+    """
+    names = [f.name for f in fields]
+    null_img = f"cast(null as {_img_ddl(fields)})"
 
     overlay = ", ".join(
         f"'{n}', CASE WHEN acc.deleted OR NOT acc.started THEN e.img.{n} "
@@ -107,18 +153,21 @@ def net_effect_typed(parsed: DataFrame, fields, key_col: str = "url") -> DataFra
     # Spark infers the fold accumulator's nullability from the zero value,
     # and the insert branch assigns null ``cols`` (= full image) — a
     # non-null zero makes codegen skip null checks and NPE in array_union.
-    fold = f"""
+    return f"""
     aggregate(
       __evs,
       named_struct('started', false, 'deleted', false, 'fresh', false,
-                   'img', {null_img}, 'cols', cast(null as array<string>)),
+                   'img', {null_img}, 'cols', cast(null as array<string>),
+                   'had_reset', false),
       (acc, e) -> CASE
         WHEN e.op_code = {OP_INSERT} THEN named_struct(
           'started', true, 'deleted', false, 'fresh', true,
-          'img', e.img, 'cols', cast(null as array<string>))
+          'img', e.img, 'cols', cast(null as array<string>),
+          'had_reset', true)
         WHEN e.op_code = {OP_DELETE} THEN named_struct(
           'started', true, 'deleted', true, 'fresh', false,
-          'img', {null_img}, 'cols', {empty_cols})
+          'img', {null_img}, 'cols', {_EMPTY_COLS},
+          'had_reset', true)
         ELSE named_struct(
           'started', true, 'deleted', false,
           'fresh', CASE WHEN acc.deleted THEN true
@@ -129,19 +178,98 @@ def net_effect_typed(parsed: DataFrame, fields, key_col: str = "url") -> DataFra
                        THEN cast(null as array<string>)
                        ELSE array_union(
                          CASE WHEN acc.deleted OR NOT acc.started
-                              THEN {empty_cols} ELSE acc.cols END,
-                         coalesce(e.set_cols, {empty_cols})) END)
+                              THEN {_EMPTY_COLS} ELSE acc.cols END,
+                         coalesce(e.set_cols, {_EMPTY_COLS})) END,
+          'had_reset', acc.had_reset)
       END
     )
     """
+
+
+def salted_partials(
+    parsed: DataFrame,
+    fields,
+    key_col: str,
+    salt_chunks: int,
+    scn_bounds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Phase 1 of the salted fold: fold each key's events per contiguous
+    commit-scn chunk — a hot key's event volume spreads across up to
+    ``salt_chunks`` tasks instead of landing on one. Returns one row per
+    (key, chunk) with the folded partial struct ``__p``.
+
+    Chunking MUST follow the apply order's leading component (commit_scn):
+    hashing on (scn, row_id) would interleave chunks and break the
+    ordered-segment associativity the combine relies on.
+    """
     keyed = parsed.filter(F.col("key").isNotNull())
+    if scn_bounds is not None:
+        lo, hi = scn_bounds
+    else:
+        lo, hi = 0, None
+    if hi is not None and hi > lo:
+        width = max(1, -(-(hi - lo) // salt_chunks))  # ceil
+        chunk = F.least(
+            F.lit(salt_chunks - 1),
+            F.greatest(F.lit(0), F.floor((F.col("commit_scn") - F.lit(lo)) / F.lit(width))),
+        ).cast("int")
+    else:
+        # unknown bounds: modulo on commit_scn is NOT order-preserving, so
+        # fall back to a single chunk (plain fold) rather than be wrong
+        chunk = F.lit(0)
     evs = F.array_sort(
         F.collect_list(F.struct("commit_scn", "scn", "row_id", "op_code", "img", "set_cols"))
     )
     return (
-        keyed.groupBy(F.col("key").alias(key_col))
+        keyed.withColumn("__chunk", chunk)
+        .groupBy(F.col("key").alias(key_col), F.col("__chunk"))
         .agg(evs.alias("__evs"))
-        .withColumn("__net", F.expr(fold))
+        .withColumn("__p", F.expr(_typed_fold_expr(fields)))
+        .select(key_col, "__chunk", "__p")
+    )
+
+
+def combine_partials(parts: DataFrame, fields, key_col: str) -> DataFrame:
+    """Phase 2 of the salted fold: combine each key's chunk partials in
+    chunk order. Exactness: ``fold(A, chunk) == p_chunk`` whenever the
+    chunk contains a reset (its first INSERT/DELETE discards everything
+    before it — including A), and a pure-update partial overlays A
+    column-wise via its ``cols`` set; both cases below, pinned row-for-row
+    against the single-pass fold by tests/test_salted_fold.py.
+    """
+    names = [f.name for f in fields]
+    null_img = f"cast(null as {_img_ddl(fields)})"
+    overlay_inline = ", ".join(
+        f"'{n}', CASE WHEN pe.p.cols IS NOT NULL AND array_contains(pe.p.cols, '{n}') "
+        f"THEN pe.p.img.{n} ELSE acc.img.{n} END"
+        for n in names
+    )
+    combine = f"""
+    aggregate(
+      __parts,
+      named_struct('started', false, 'deleted', false, 'fresh', false,
+                   'img', {null_img}, 'cols', cast(null as array<string>),
+                   'had_reset', false),
+      (acc, pe) -> CASE
+        WHEN NOT acc.started THEN pe.p
+        WHEN pe.p.had_reset THEN pe.p
+        WHEN acc.deleted THEN named_struct(
+          'started', true, 'deleted', false, 'fresh', true,
+          'img', pe.p.img, 'cols', pe.p.cols, 'had_reset', acc.had_reset)
+        ELSE named_struct(
+          'started', true, 'deleted', false, 'fresh', acc.fresh,
+          'img', named_struct({overlay_inline}),
+          'cols', CASE WHEN acc.cols IS NULL THEN cast(null as array<string>)
+                       ELSE array_union(acc.cols, coalesce(pe.p.cols, {_EMPTY_COLS})) END,
+          'had_reset', acc.had_reset)
+      END
+    )
+    """
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("__chunk").alias("c"), F.col("__p").alias("p"))))
+    return (
+        parts.groupBy(key_col)
+        .agg(ordered.alias("__parts"))
+        .withColumn("__net", F.expr(combine))
         .select(key_col, "__net")
     )
 

@@ -37,9 +37,13 @@ class DdlEvent:
     oracle_type: str | None = None
     default: str | None = None
     new_name: str | None = None
+    # target-table routing (multi-table replay; the reference resolves the
+    # table from the DDL record's segment fields, SchemaService.kt:34-36)
+    owner: str | None = None
+    table: str | None = None
 
 
-def parse_ddl(scn: int, sql: str) -> DdlEvent | None:
+def parse_ddl(scn: int, sql: str, owner: str | None = None, table: str | None = None) -> DdlEvent | None:
     m = _ADD_RE.search(sql)
     if m:
         return DdlEvent(
@@ -48,10 +52,15 @@ def parse_ddl(scn: int, sql: str) -> DdlEvent | None:
             column=m.group("col"),
             oracle_type=m.group("type"),
             default=m.group("default"),
+            owner=owner,
+            table=table,
         )
     m = _RENAME_RE.search(sql)
     if m:
-        return DdlEvent(scn=scn, kind="rename", column=m.group("old"), new_name=m.group("new"))
+        return DdlEvent(
+            scn=scn, kind="rename", column=m.group("old"), new_name=m.group("new"),
+            owner=owner, table=table,
+        )
     return None
 
 

@@ -99,9 +99,13 @@ class ReplayDriver:
         # Bulk-replay plan switch: skip the per-bucket pre-count when a
         # batch is known to touch ~every bucket (see SnapshotTable.merge).
         self.prune_buckets = True
+        # C11: >1 switches on the salted partial-fold for hot-key skew
+        # (each key's events split into salt_chunks commit-scn ranges;
+        # see operators.dedup.salted_partials)
+        self.salt_chunks: int | None = None
 
     # ------------------------------------------------- parse-failure routing
-    def _resolve_schema_misses(self, parsed: DataFrame) -> bool:
+    def _resolve_schema_misses(self, parsed: DataFrame, table: SnapshotTable) -> bool:
         """Try the schema provider on every missed column; returns True if
         the table schema changed (caller re-parses the batch)."""
         if self.schema_provider is None:
@@ -119,7 +123,7 @@ class ReplayDriver:
             resolved = self.schema_provider(c)
             if resolved is not None:
                 data_type, default = resolved
-                self.table.add_column(c.lower(), data_type, default=default)
+                table.add_column(c.lower(), data_type, default=default)
                 changed = True
         return changed
 
@@ -140,7 +144,74 @@ class ReplayDriver:
             )
         return n
 
+    def _ddl_target(self, ddl: DdlEvent) -> SnapshotTable:
+        """Which table an ALTER applies to (single-table: the one table;
+        multi-table drivers route on the DDL record's segment fields)."""
+        return self.table
+
     # ------------------------------------------------------------ one batch
+    def _apply_to_table(
+        self,
+        committed: DataFrame,
+        batch_id: str,
+        table: SnapshotTable,
+        key_col: str,
+        scn_bounds: tuple[int, int] | None = None,
+        quarantine_key: str | None = None,
+    ) -> tuple[int, int, int, DataFrame | None]:
+        """Parse -> (error routing) -> net-effect fold -> MERGE for one
+        target table over its committed changes. Returns
+        ``(n_net_rows, n_parse_errors, n_quarantined, partition_lineage_df)``.
+        Shared by the single-table and multi-table drivers."""
+        if batch_id in table.applied_batch_ids():
+            return 0, 0, 0, None
+        n_parse_errors = 0
+        n_quarantined = 0
+        part_df = None
+        schema = table.schema()
+        parsed = parse_committed_typed(
+            committed, schema, key_col=key_col,
+            db_timezone=self.db_timezone, keep_sql=self.track_parse_errors,
+        )
+        if self.track_parse_errors or self.track_partition_lineage:
+            parsed = parsed.persist()
+            if self.track_parse_errors:
+                n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
+                if n_parse_errors and self._resolve_schema_misses(parsed, table):
+                    # lazy schema refresh succeeded — re-parse the batch
+                    # against the evolved schema (the reference's
+                    # refresh-and-retry, TransactionConsolidator.kt:79-89)
+                    parsed.unpersist()
+                    schema = table.schema()
+                    parsed = parse_committed_typed(
+                        committed, schema, key_col=key_col,
+                        db_timezone=self.db_timezone, keep_sql=True,
+                    ).persist()
+                    n_parse_errors = parsed.filter(
+                        F.col("parse_error").isNotNull()
+                    ).count()
+                if n_parse_errors:
+                    n_quarantined = self._quarantine(
+                        parsed.filter(F.col("parse_error").isNotNull()),
+                        quarantine_key or batch_id,
+                    )
+            good = parsed.filter(F.col("parse_error").isNull())
+            if self.track_partition_lineage:
+                part_df = partition_lineage(good, batch_id)
+        else:
+            good = parsed.filter(F.col("parse_error").isNull())
+
+        source = build_merge_source_typed(
+            good, schema, key_col=key_col, db_timezone=self.db_timezone,
+            salt_chunks=self.salt_chunks, scn_bounds=scn_bounds,
+        )
+        stats = table.merge(
+            self.spark, source, batch_id=batch_id, prune_buckets=self.prune_buckets
+        )
+        if self.track_parse_errors or self.track_partition_lineage:
+            parsed.unpersist()
+        return stats.source_rows, n_parse_errors, n_quarantined, part_df
+
     def process_range(self, events: DataFrame, lo: int, hi: int, change_lo: int | None) -> dict:
         batch_id = f"cdc-{lo}-{hi}"
         if batch_id in self.lineage.applied_batch_ids():
@@ -148,54 +219,9 @@ class ReplayDriver:
         t0 = time.time()
 
         committed = consolidate(events, self.selectors, lo, hi, change_lo=change_lo)
-        already_merged = batch_id in self.table.applied_batch_ids()
-
-        n_parse_errors = 0
-        n_quarantined = 0
-        n_changes = 0
-        part_df = None
-        if not already_merged:
-            schema = self.table.schema()
-            parsed = parse_committed_typed(
-                committed, schema, key_col=self.key_col,
-                db_timezone=self.db_timezone, keep_sql=self.track_parse_errors,
-            )
-            if self.track_parse_errors or self.track_partition_lineage:
-                parsed = parsed.persist()
-                if self.track_parse_errors:
-                    n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
-                    if n_parse_errors and self._resolve_schema_misses(parsed):
-                        # lazy schema refresh succeeded — re-parse the batch
-                        # against the evolved schema (the reference's
-                        # refresh-and-retry, TransactionConsolidator.kt:79-89)
-                        parsed.unpersist()
-                        schema = self.table.schema()
-                        parsed = parse_committed_typed(
-                            committed, schema, key_col=self.key_col,
-                            db_timezone=self.db_timezone, keep_sql=True,
-                        ).persist()
-                        n_parse_errors = parsed.filter(
-                            F.col("parse_error").isNotNull()
-                        ).count()
-                    if n_parse_errors:
-                        n_quarantined = self._quarantine(
-                            parsed.filter(F.col("parse_error").isNotNull()), batch_id
-                        )
-                good = parsed.filter(F.col("parse_error").isNull())
-                if self.track_partition_lineage:
-                    part_df = partition_lineage(good, batch_id)
-            else:
-                good = parsed.filter(F.col("parse_error").isNull())
-
-            source = build_merge_source_typed(
-                good, schema, key_col=self.key_col, db_timezone=self.db_timezone
-            )
-            stats = self.table.merge(
-                self.spark, source, batch_id=batch_id, prune_buckets=self.prune_buckets
-            )
-            n_changes = stats.source_rows
-            if self.track_parse_errors or self.track_partition_lineage:
-                parsed.unpersist()
+        n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
+            committed, batch_id, self.table, self.key_col, scn_bounds=(lo, hi)
+        )
 
         if self.track_watermark:
             # bounded below by the carryover watermark: rescanning from SCN 0
@@ -246,14 +272,14 @@ class ReplayDriver:
                 F.min(F.when(is_m, F.col("scn"))).alias("lo"),
                 F.max(F.when(is_m, F.col("scn"))).alias("hi"),
                 F.collect_list(
-                    F.when(is_d, F.struct("scn", "sql_redo"))
+                    F.when(is_d, F.struct("scn", "sql_redo", "seg_owner", "table_name"))
                 ).alias("ddl_rows"),
             )
             .collect()[0]
         )
         ddls: dict[int, DdlEvent] = {}
         for r in row["ddl_rows"]:
-            e = parse_ddl(r["scn"], r["sql_redo"])
+            e = parse_ddl(r["scn"], r["sql_redo"], r["seg_owner"], r["table_name"])
             if e is not None:
                 ddls[r["scn"]] = e
 
@@ -274,10 +300,26 @@ class ReplayDriver:
         ranges = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
         return ranges, ddls
 
-    def replay(self, events: DataFrame, n_batches: int = 8, start_scn: int | None = None) -> ReplayStats:
+    def replay(
+        self,
+        events: DataFrame,
+        n_batches: int = 8,
+        start_scn: int | None = None,
+        start_offset: tuple[int, str] | None = None,
+    ) -> ReplayStats:
         """Bounded replay with crash-resume: rerunning is a no-op for
         already-applied ranges (batch-id idempotence in both the table and
-        the lineage log)."""
+        the lineage log).
+
+        ``start_offset=(scn, row_id)`` is F7 fine-grained resume — skip
+        everything at or below the offset, *including* other rows at the
+        same SCN with row_id <= the offset's (the reference's cursor
+        semantics, ``LogminerFetcher.kt:51, 74-101``). ``start_scn`` is the
+        coarser commit-range variant."""
+        from logminer_kafka_connect_spark.operators.filters import skip_to_offset
+
+        if start_offset is not None:
+            events = skip_to_offset(events, start_offset[0], start_offset[1])
         t0 = time.time()
         ranges, ddls = self.plan_ranges(events, n_batches, start_scn)
         if os.environ.get("LMKC_TIMING") == "1":
@@ -290,7 +332,7 @@ class ReplayDriver:
         for lo, hi in ranges:
             # DDL boundary: evolve schema before the batch that starts here
             if lo in ddls:
-                apply_ddl(self.table, ddls[lo])
+                apply_ddl(self._ddl_target(ddls[lo]), ddls[lo])
             rec = self.process_range(events, lo, hi, change_lo)
             if not rec.get("skipped"):
                 n_applied += rec["n_net_rows"]
@@ -307,7 +349,7 @@ class ReplayDriver:
         range_starts = {lo for lo, _ in ranges}
         for s in sorted(ddls):
             if s not in range_starts:
-                apply_ddl(self.table, ddls[s])
+                apply_ddl(self._ddl_target(ddls[s]), ddls[s])
         return ReplayStats(
             n_batches=done,
             n_events_applied=n_applied,
@@ -331,27 +373,9 @@ class ReplayDriver:
             return {"batch_id": batch_id, "skipped": True}
         t0 = time.time()
         committed = consolidate_with_markers(full_log, self.selectors, markers, commit_hi)
-        n_changes = 0
-        n_parse_errors = 0
-        part_df = None
-        if batch_id not in self.table.applied_batch_ids():
-            schema = self.table.schema()
-            parsed = parse_committed_typed(
-                committed, schema, key_col=self.key_col, db_timezone=self.db_timezone
-            ).persist()
-            if self.track_parse_errors:
-                n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
-            good = parsed.filter(F.col("parse_error").isNull())
-            if self.track_partition_lineage:
-                part_df = partition_lineage(good, batch_id)
-            source = build_merge_source_typed(
-                good, schema, key_col=self.key_col, db_timezone=self.db_timezone
-            )
-            stats = self.table.merge(
-                self.spark, source, batch_id=batch_id, prune_buckets=self.prune_buckets
-            )
-            n_changes = stats.source_rows
-            parsed.unpersist()
+        n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
+            committed, batch_id, self.table, self.key_col
+        )
         span = markers.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
         record = {
             "batch_id": batch_id,
@@ -360,6 +384,7 @@ class ReplayDriver:
             "commit_watermark": None,
             "n_net_rows": n_changes,
             "n_parse_errors": n_parse_errors,
+            "n_quarantined": n_quarantined,
             "table_version": self.table.current_version(),
             "wall_s": round(time.time() - t0, 3),
         }
@@ -459,3 +484,123 @@ class ReplayDriver:
             .trigger(availableNow=True)
             .start()
         )
+
+
+@dataclass
+class TableBinding:
+    """One monitored table: its selector, SnapshotTable, and key column."""
+
+    owner: str
+    table_name: str
+    table: SnapshotTable
+    key_col: str
+
+    @property
+    def name(self) -> str:
+        return f"{self.owner}.{self.table_name}"
+
+
+class MultiTableReplayDriver(ReplayDriver):
+    """Routes one interleaved redo log to N monitored tables — the
+    reference's topic-per-table emission with a per-table schema cache
+    (``SourceTask.kt:46-63``, ``SchemaService.kt:34-36``,
+    ``SourceDatabaseNameService.kt:20-27``).
+
+    Scale shape: the log is scanned + consolidated ONCE per microbatch
+    (selector union pushed into the scan); the committed set is persisted
+    and each table's slice runs parse -> fold -> MERGE against its own
+    schema/bucketing. DDL events route to their target table via the
+    record's segment fields. Lineage carries per-table stats in one batch
+    record, so crash-resume skips the whole batch only when every table
+    committed it (per-table merges are individually idempotent by
+    batch_id, so a partial crash re-applies only the missing tables).
+    """
+
+    def __init__(self, spark: SparkSession, bindings: list[TableBinding], lineage: LineageLog, **kw):
+        super().__init__(
+            spark,
+            bindings[0].table,
+            lineage,
+            [(b.owner, b.table_name) for b in bindings],
+            key_col=bindings[0].key_col,
+            **kw,
+        )
+        self.bindings = bindings
+
+    def _ddl_target(self, ddl: DdlEvent) -> SnapshotTable:
+        for b in self.bindings:
+            if (ddl.owner is None or ddl.owner == b.owner) and (
+                ddl.table is None or ddl.table == b.table_name
+            ):
+                return b.table
+        return self.table
+
+    def process_range(self, events: DataFrame, lo: int, hi: int, change_lo: int | None) -> dict:
+        batch_id = f"cdc-{lo}-{hi}"
+        if batch_id in self.lineage.applied_batch_ids():
+            return {"batch_id": batch_id, "skipped": True}
+        t0 = time.time()
+
+        committed = consolidate(
+            events, self.selectors, lo, hi, change_lo=change_lo
+        ).persist()
+        try:
+            per_table: dict[str, dict] = {}
+            n_changes = n_parse_errors = n_quarantined = 0
+            part_dfs = []
+            for b in self.bindings:
+                sub = committed.filter(
+                    (F.col("seg_owner") == b.owner)
+                    & (F.col("table_name") == b.table_name)
+                )
+                n_c, n_e, n_q, part = self._apply_to_table(
+                    sub,
+                    batch_id,
+                    b.table,
+                    b.key_col,
+                    scn_bounds=(lo, hi),
+                    quarantine_key=f"{batch_id}-{b.name}",
+                )
+                per_table[b.name] = {
+                    "n_net_rows": n_c,
+                    "n_parse_errors": n_e,
+                    "n_quarantined": n_q,
+                    "table_version": b.table.current_version(),
+                }
+                n_changes += n_c
+                n_parse_errors += n_e
+                n_quarantined += n_q
+                if part is not None:
+                    part_dfs.append(part.withColumn("table", F.lit(b.name)))
+        finally:
+            committed.unpersist()
+
+        part_df = None
+        if part_dfs:
+            part_df = part_dfs[0]
+            for p in part_dfs[1:]:
+                part_df = part_df.unionByName(p)
+
+        if self.track_watermark:
+            watermark, n_open = open_txn_watermark(
+                events, self.selectors, hi, change_lo=change_lo
+            )
+            resume_change_lo = watermark if watermark is not None else hi
+        else:
+            watermark, n_open, resume_change_lo = None, -1, None
+        record = {
+            "batch_id": batch_id,
+            "scn_lo": lo,
+            "scn_hi": hi,
+            "commit_watermark": watermark,
+            "resume_change_lo": resume_change_lo,
+            "n_open_changes": n_open,
+            "n_net_rows": n_changes,
+            "n_parse_errors": n_parse_errors,
+            "n_quarantined": n_quarantined,
+            "tables": per_table,
+            "table_version": self.table.current_version(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        self.lineage.record_batch(record, partition_df=part_df)
+        return record

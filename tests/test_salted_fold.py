@@ -41,7 +41,7 @@ def test_salted_fold_identical_to_plain(spark):
     parsed = parse_committed_typed(committed, PAGES_SCHEMA).filter(
         F.col("parse_error").isNull()
     )
-    lo, hi = SCN0, SCN0 + HOT_CFG.n_txns * 64
+    lo, hi = SCN0, SCN0 + HOT_CFG.n_txns * 8 + 64  # SCN_GAP=8 per txn
 
     plain = build_merge_source_typed(parsed, PAGES_SCHEMA)
     salted = build_merge_source_typed(
@@ -74,7 +74,7 @@ def test_salted_fold_splits_hot_key(spark):
     parsed = parse_committed_typed(committed, PAGES_SCHEMA).filter(
         F.col("parse_error").isNull()
     )
-    lo, hi = SCN0, SCN0 + HOT_CFG.n_txns * 64
+    lo, hi = SCN0, SCN0 + HOT_CFG.n_txns * 8 + 64  # SCN_GAP=8 per txn
     parts = salted_partials(
         parsed, PAGES_SCHEMA.fields, key_col="url", salt_chunks=8, scn_bounds=(lo, hi)
     )
