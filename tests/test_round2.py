@@ -240,3 +240,38 @@ def test_skip_to_offset_row_id_granularity(spark, tmpdir_path):
     engine.replay(_events_df(spark, rows), n_batches=1, start_offset=(100, "r1"))
     urls = sorted(r["url"] for r in engine.state().select("url").collect())
     assert urls == ["http://b", "http://c"]  # r1 skipped, r2 at same scn kept
+
+
+# -------------------------------------------- start.scn policies (F8/T4)
+def test_start_scn_policies_current_vs_full_history(spark, tmpdir_path):
+    """The reference's two start.scn policies (SourceTaskTest.kt:122-178):
+    start.scn=current -> snapshot only, skip redo history; start.scn=1/None
+    -> replay the full history through CDC."""
+    import shutil
+
+    rows = [
+        _ev(100, 1, 'insert into "CRAWL"."PAGES"("URL","LANG") values (\'http://old\',\'en\')',
+            xid="t1"),
+        _ev(110, 7, xid="t1"),
+    ]
+    events = _events_df(spark, rows)
+    current_scn = events.agg(F.max("scn")).collect()[0][0]
+
+    # policy: full history (start.scn=1) — the historical insert replays
+    full = CdcEngine(spark, os.path.join(tmpdir_path, "full"), n_buckets=4)
+    full.replay(events, n_batches=1)
+    assert [r["url"] for r in full.state().select("url").collect()] == ["http://old"]
+
+    # policy: current — history skipped; later events (scn > current) apply
+    cur = CdcEngine(spark, os.path.join(tmpdir_path, "cur"), n_buckets=4)
+    stats = cur.replay(events, n_batches=1, start_scn=current_scn)
+    assert stats.n_events_applied == 0
+    assert cur.state().count() == 0
+    later = rows + [
+        _ev(200, 1, 'insert into "CRAWL"."PAGES"("URL","LANG") values (\'http://new\',\'de\')',
+            xid="t2"),
+        _ev(210, 7, xid="t2"),
+    ]
+    cur.replay(_events_df(spark, later), n_batches=1, start_scn=current_scn)
+    assert [r["url"] for r in cur.state().select("url").collect()] == ["http://new"]
+    shutil.rmtree(tmpdir_path, ignore_errors=True)
