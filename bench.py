@@ -52,6 +52,7 @@ HEADLINE = [
     "d15_minhash_lsh",
     "d16_simhash",
     "n18_cosine_topk",
+    "n19_ivf_topk",
     "t21_quality_score",
     "mm_media_features",
 ]

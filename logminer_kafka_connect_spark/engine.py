@@ -149,5 +149,8 @@ class MultiTableCdcEngine:
     def replay(self, events: DataFrame, n_batches: int = 8, start_scn: int | None = None) -> ReplayStats:
         return self.driver.replay(events, n_batches=n_batches, start_scn=start_scn)
 
+    def run_streaming(self, events_path: str, checkpoint_dir: str, **kw):
+        return self.driver.run_streaming(events_path, checkpoint_dir, **kw)
+
     def state(self, name: str) -> DataFrame:
         return self._tables[name].read(self.spark)

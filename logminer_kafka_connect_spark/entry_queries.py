@@ -541,6 +541,54 @@ def n18(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+
+@_q(
+    "n19_ivf_topk",
+    """
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv,
+                    sqrt(list_aggregate(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS cnorm
+                  FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, embedding,
+            sqrt(list_aggregate(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS vnorm
+          FROM embeddings),
+    asgn AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_aggregate(list_transform(list_zip(v.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / (v.vnorm * c.cnorm)) DESC,
+                 c.centroid_id ASC) AS rn
+        FROM v CROSS JOIN cent c)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, vnorm AS qnorm FROM v WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, qnorm, centroid_id AS cluster FROM (
+        SELECT q.query_id, q.qv, q.qnorm, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 (list_aggregate(list_transform(list_zip(q.qv, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / (q.qnorm * c.cnorm)) DESC,
+                 c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_aggregate(list_transform(list_zip(p.qv, a.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+               / (p.qnorm * sqrt(list_aggregate(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))), 6) AS cosine
+      FROM probes p JOIN asgn a ON a.cluster = p.cluster AND a.vec_id <> p.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 3
+    """,
+)
+def n19(spark, sf_dir):
+    """IVF-Flat ANN (inverted-list scale path): deterministic centroids
+    (first 8 corpus vectors), nearest-centroid assignment, 2-probe query,
+    exact re-rank within probed lists — hash-verified end-to-end by the
+    DuckDB oracle above."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

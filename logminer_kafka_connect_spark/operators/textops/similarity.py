@@ -166,3 +166,104 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def assign_ivf_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: each vector joins its nearest centroid (max cosine,
+    centroid id as tie-break). Centroids broadcast (small side); the scan is
+    one linear pass — the build stage of an IVF-Flat index. Returns
+    (id, vec, cluster)."""
+    c = with_norm(centroids, id_col, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("_norm").alias("cnorm"),
+    )
+    v = with_norm(emb, id_col, vec_col)
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(c)).withColumn(
+        "sim", dot / (F.col("_norm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: deterministic centroids (the first
+    ``n_centroids`` corpus vectors by id — fully SQL-expressible, so a
+    DuckDB oracle hash-verifies the whole pipeline), each vector assigned
+    to its nearest centroid, each query probing its ``n_probe`` nearest
+    inverted lists, exact cosine re-rank within the probed lists.
+
+    100 TB shape: the candidate join is an equi-join on ``cluster`` (the
+    inverted-list bucketing), so per-query work scales with the probed
+    lists, not the corpus; assignment is one linear broadcast-join pass
+    that would be written once and reused across queries.
+    """
+    centroids = emb.filter(F.col(id_col) < n_centroids)
+    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+
+    # query -> its n_probe nearest centroid lists
+    c = with_norm(centroids, id_col, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("_norm").alias("cnorm"),
+    )
+    q = with_norm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("_norm").alias("qnorm")
+    )
+    dotqc = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q.join(F.broadcast(c))
+        .withColumn("sim", dotqc / (F.col("qnorm") * F.col("cnorm")))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qnorm", F.col("centroid_id").alias("cluster"))
+    )
+
+    cands = probes.join(assigned, "cluster").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col(vec_col), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm_c = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0).cast("double"),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    scored = cands.withColumn("cosine", F.round(dot / (F.col("qnorm") * norm_c), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )

@@ -447,10 +447,19 @@ class ReplayDriver:
                             f"appended in SCN order"
                         )
                 ddl_rows = (
-                    filter_ddl(batch_df, self.selectors).select("scn", "sql_redo").collect()
+                    filter_ddl(batch_df, self.selectors)
+                    .select("scn", "sql_redo", "seg_owner", "table_name")
+                    .collect()
                 )
                 ddls = sorted(
-                    (e for e in (parse_ddl(r["scn"], r["sql_redo"]) for r in ddl_rows) if e),
+                    (
+                        e
+                        for e in (
+                            parse_ddl(r["scn"], r["sql_redo"], r["seg_owner"], r["table_name"])
+                            for r in ddl_rows
+                        )
+                        if e
+                    ),
                     key=lambda e: e.scn,
                 )
                 # sub-batches split at DDL positions: markers below the DDL
@@ -468,7 +477,7 @@ class ReplayDriver:
                             log_df, m, f"stream-{epoch_id}-{k}", commit_hi=b
                         )
                     if b is not None:
-                        apply_ddl(self.table, ddls[k])
+                        apply_ddl(self._ddl_target(ddls[k]), ddls[k])
                     lo = b
             finally:
                 markers_all.unpersist()
@@ -595,6 +604,72 @@ class MultiTableReplayDriver(ReplayDriver):
             "commit_watermark": watermark,
             "resume_change_lo": resume_change_lo,
             "n_open_changes": n_open,
+            "n_net_rows": n_changes,
+            "n_parse_errors": n_parse_errors,
+            "n_quarantined": n_quarantined,
+            "tables": per_table,
+            "table_version": self.table.current_version(),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        self.lineage.record_batch(record, partition_df=part_df)
+        return record
+
+    def process_markers(
+        self,
+        full_log: DataFrame,
+        markers: DataFrame,
+        batch_id: str,
+        commit_hi: int | None = None,
+    ) -> dict:
+        """Streaming trigger for N tables: consolidate the trigger's
+        transactions once, apply each table's slice (same per-table
+        idempotence as process_range)."""
+        if batch_id in self.lineage.applied_batch_ids():
+            return {"batch_id": batch_id, "skipped": True}
+        t0 = time.time()
+        committed = consolidate_with_markers(
+            full_log, self.selectors, markers, commit_hi
+        ).persist()
+        try:
+            per_table: dict[str, dict] = {}
+            n_changes = n_parse_errors = n_quarantined = 0
+            part_dfs = []
+            for b in self.bindings:
+                sub = committed.filter(
+                    (F.col("seg_owner") == b.owner)
+                    & (F.col("table_name") == b.table_name)
+                )
+                n_c, n_e, n_q, part = self._apply_to_table(
+                    sub,
+                    batch_id,
+                    b.table,
+                    b.key_col,
+                    quarantine_key=f"{batch_id}-{b.name}",
+                )
+                per_table[b.name] = {
+                    "n_net_rows": n_c,
+                    "n_parse_errors": n_e,
+                    "n_quarantined": n_q,
+                    "table_version": b.table.current_version(),
+                }
+                n_changes += n_c
+                n_parse_errors += n_e
+                n_quarantined += n_q
+                if part is not None:
+                    part_dfs.append(part.withColumn("table", F.lit(b.name)))
+        finally:
+            committed.unpersist()
+        part_df = None
+        if part_dfs:
+            part_df = part_dfs[0]
+            for p in part_dfs[1:]:
+                part_df = part_df.unionByName(p)
+        span = markers.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
+        record = {
+            "batch_id": batch_id,
+            "scn_lo": span["lo"],
+            "scn_hi": span["hi"],
+            "commit_watermark": None,
             "n_net_rows": n_changes,
             "n_parse_errors": n_parse_errors,
             "n_quarantined": n_quarantined,

@@ -95,3 +95,35 @@ def test_two_table_crash_resume(spark, tmpdir_path):
     _assert_equal(
         engine.state("LINKS").toPandas(), gen.expected_links_state(), "link_id"
     )
+
+
+def test_two_table_streaming(spark, tmpdir_path):
+    """Structured Streaming front-end over a 2-table interleaved log: each
+    trigger consolidates once and routes per table."""
+    import os
+
+    from tests.test_streaming import _write_event_log
+
+    gen = CdcGenerator(
+        GeneratorConfig(seed=13, n_txns=90, n_urls=140, n_snapshot=0, p_links_txn=0.35)
+    )
+    events_path = os.path.join(tmpdir_path, "events")
+    _write_event_log(spark, gen, events_path)
+
+    engine = MultiTableCdcEngine(
+        spark,
+        tmpdir_path,
+        [
+            TableSpec("CRAWL", "PAGES", PAGES_SCHEMA, "url"),
+            TableSpec("CRAWL", "LINKS", LINKS_SCHEMA, "link_id"),
+        ],
+        n_buckets=4,
+    )
+    q = engine.run_streaming(
+        events_path, os.path.join(tmpdir_path, "ckpt"), max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+
+    _assert_equal(engine.state("PAGES").toPandas(),
+                  gen.expected_final_state(include_snapshot=False), "url")
+    _assert_equal(engine.state("LINKS").toPandas(), gen.expected_links_state(), "link_id")
