@@ -851,6 +851,14 @@ def ann_recall(spark, sf_dir):
     )
 
 
+@_q("d18_lsh_near_dups")
+def d18_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup detection: LSH-bucketed candidate
+    generation + exact-cosine verify (rows-only; recall vs the d18 exact
+    baseline asserted in tests/test_textops.py)."""
+    return S.lsh_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 @_q("mm_media_features")
 def mm_features(spark, sf_dir):
     from logminer_kafka_connect_spark.operators.textops.multimodal import (

@@ -267,3 +267,49 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_tables: int = 12,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidates are co-bucketed
+    vectors (random-hyperplane LSH, multi-table), verified with exact
+    cosine — pair work scales with bucket occupancy, not n² (the scale path
+    behind the exact `embedding_near_dups` baseline in textops.dedup;
+    recall vs that baseline is pinned in tests/test_textops.py)."""
+    b = bucket_signatures(emb, id_col, vec_col, seed, n_tables, n_planes)
+    cands = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0).cast("double"), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    return (
+        cands.withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

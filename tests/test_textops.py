@@ -137,3 +137,26 @@ def test_multimodal_plumbing(docs):
     assert len(r["feature"]) == 16
     with pytest.raises(NotImplementedError):
         extract_media_features(media, use_real_decoder=True)
+
+
+def test_lsh_near_dups_recall_vs_exact(spark):
+    """The LSH-bucketed near-dup scale path recovers most exact pairs."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(sf_dir):
+        _pytest.skip("testdata not present")
+    from pyspark.sql import functions as F
+
+    from logminer_kafka_connect_spark.operators.textops.dedup import embedding_near_dups
+    from logminer_kafka_connect_spark.operators.textops.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = embedding_near_dups(emb, threshold=0.4).select("id_a", "id_b")
+    approx = lsh_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["id_a", "id_b"], "left_semi").count()
+    assert n_exact > 0
+    assert n_hit / n_exact >= 0.5, f"recall {n_hit}/{n_exact}"
