@@ -27,3 +27,11 @@ runs in Arrow-vectorized pandas UDFs.
 """
 
 __version__ = "0.1.0"
+
+from logminer_kafka_connect_spark.engine import (  # noqa: E402,F401
+    DEFAULT_SELECTORS,
+    PAGES_SCHEMA,
+    CdcEngine,
+    MultiTableCdcEngine,
+    TableSpec,
+)
