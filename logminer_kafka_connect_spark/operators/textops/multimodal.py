@@ -73,22 +73,29 @@ def extract_media_features(
     id_col: str = "doc_id",
     media_col: str = "media",
     use_real_decoder: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Decode/feature-extract over Arrow batches (``mapInPandas``).
 
-    Real decode (PIL/ffmpeg/torchaudio) is unavailable in this image —
-    stubbed per the build contract; the deterministic fake exercises the
-    identical distributed plumbing.
+    ``decoder`` is the pluggable decode slot: any ``bytes -> dict`` with
+    keys ``n_bytes, byte_mean, byte_entropy, feature`` (e.g. a PIL/ffmpeg
+    wrapper on a cluster with codecs; the callable is pickled to executors,
+    so per-batch amortized model/codec setup belongs inside it). Real
+    codecs are unavailable in this image — ``use_real_decoder=True``
+    without a decoder raises per the build contract; the deterministic
+    fake exercises the identical distributed plumbing (schema,
+    partitioning, UDF signature, batch shape).
     """
-    if use_real_decoder:
+    if use_real_decoder and decoder is None:
         raise NotImplementedError(
             "real media decoding requires image/audio codecs not present in "
-            "this environment; plug a decoder into _fake_decode's slot"
+            "this environment; pass decoder=<bytes -> feature dict>"
         )
+    decode = decoder or _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(b) for b in pdf[media_col]]
+            feats = [decode(b) for b in pdf[media_col]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out

@@ -142,7 +142,10 @@ class SnapshotTable:
     def snapshot_history(self) -> list[dict[str, Any]]:
         out = []
         for v in range(self.current_version() + 1):
-            m = self.metadata(v)
+            try:
+                m = self.metadata(v)
+            except Exception:
+                continue  # expired by expire_snapshots
             out.append(
                 {
                     "version": v,
@@ -516,5 +519,38 @@ class SnapshotTable:
         return new_meta["version"]
 
     # -------------------------------------------------------------- cleanup
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, Any]:
+        """Iceberg's ``expire_snapshots``: drop manifests older than the
+        last ``keep_last`` versions and delete data directories no retained
+        manifest references. Without this, a long replay accumulates one
+        immutable commit dir per touched bucket per merge forever — at
+        10^10 events that is unbounded storage. Time travel remains
+        available for the retained window."""
+        cur = self.current_version()
+        keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+        live_paths: set[str] = set()
+        for v in keep:
+            m = self.metadata(v)
+            live_paths |= {p for ps in m["buckets"].values() for p in ps}
+        n_dirs = 0
+        for name in self.fs.listdir(self._data_dir):
+            full = os.path.join(self._data_dir, name)
+            if name.startswith("commit-") and not any(
+                p.startswith(full) for p in live_paths
+            ):
+                self.fs.delete(full)
+                n_dirs += 1
+        n_man = 0
+        for name in self.fs.listdir(self._meta_dir):
+            m = _VERSION_RE.match(name)
+            if m and int(m.group(1)) not in keep:
+                self.fs.delete(os.path.join(self._meta_dir, name))
+                n_man += 1
+        return {
+            "expired_manifests": n_man,
+            "deleted_data_dirs": n_dirs,
+            "retained_versions": sorted(keep),
+        }
+
     def drop(self) -> None:
         self.fs.delete(self.path)

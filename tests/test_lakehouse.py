@@ -251,3 +251,46 @@ def test_bulk_merge_plan_matches_pruned(spark, tmpdir_path):
     a = sorted(map(tuple, ta.read(spark).collect()))
     b = sorted(map(tuple, tb.read(spark).collect()))
     assert a == b
+
+
+def test_expire_snapshots(spark, tmpdir_path):
+    """Old manifests + unreferenced commit dirs are deleted; the retained
+    window still time-travels and reads correctly."""
+    t = _mk(tmpdir_path)
+    for i in range(5):
+        t.merge(
+            spark,
+            _src(spark, [Row(url="u1", lang="en", n=i, **{OP_COL: "u", SET_COLS_COL: None})]),
+            batch_id=f"b{i}",
+        )
+    assert t.current_version() == 5
+    data_dir = os.path.join(tmpdir_path, "t", "data")
+    n_before = len(os.listdir(data_dir))
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["expired_manifests"] == 4  # v0..v3 gone, v4/v5 kept
+    assert stats["retained_versions"] == [4, 5]
+    assert len(os.listdir(data_dir)) < n_before
+    # current state intact, retained time travel works
+    assert t.read(spark).collect()[0]["n"] == 4
+    assert t.read(spark, version=4).collect()[0]["n"] == 3
+    assert len(t.snapshot_history()) == 2  # expired versions skipped
+
+
+def test_expire_keeps_files_shared_with_retained(spark, tmpdir_path):
+    """A commit dir still referenced by a retained manifest (untouched
+    bucket carried forward) must survive expiry."""
+    t = _mk(tmpdir_path, n_buckets=8)
+    rows = [
+        Row(url=f"u{i}", lang="en", n=i, **{OP_COL: "u", SET_COLS_COL: None})
+        for i in range(20)
+    ]
+    t.merge(spark, _src(spark, rows), batch_id="b0")  # v1: all buckets
+    # touch a single key -> rewrites one bucket; others carried by reference
+    t.merge(
+        spark,
+        _src(spark, [Row(url="u0", lang="fr", n=99, **{OP_COL: "u", SET_COLS_COL: None})]),
+        batch_id="b1",
+    )
+    t.expire_snapshots(keep_last=1)  # only v2 retained; v1 dirs still shared
+    state = {r["url"]: r for r in t.read(spark).collect()}
+    assert len(state) == 20 and state["u0"]["lang"] == "fr" and state["u1"]["n"] == 1
