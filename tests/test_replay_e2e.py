@@ -155,3 +155,17 @@ def test_generator_parallelism_invariance(spark):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_replay_through_hadoop_fs_backend(spark, tmpdir_path):
+    """Whole-engine replay with all table/lineage metadata IO through the
+    JVM Hadoop FileSystem (the cluster storage path, file:// locally)."""
+    from logminer_kafka_connect_spark.plans.fs import HadoopFS
+    from logminer_kafka_connect_spark.sources.generator import SCN0
+
+    gen = CdcGenerator(GeneratorConfig(seed=5, n_txns=40, n_urls=80, n_snapshot=20))
+    engine = CdcEngine(spark, tmpdir_path, n_buckets=4, fs=HadoopFS(spark))
+    engine.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    stats = engine.replay(gen.events_df(spark), n_batches=2)
+    assert stats.n_parse_errors == 0
+    _assert_state_equal(engine.state().toPandas(), gen.expected_final_state())
