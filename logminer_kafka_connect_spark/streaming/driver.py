@@ -679,3 +679,54 @@ class MultiTableReplayDriver(ReplayDriver):
         }
         self.lineage.record_batch(record, partition_df=part_df)
         return record
+
+
+def stream_envelopes(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    selectors: list[TableSelector],
+    schema,
+    key_col: str = "url",
+    db_timezone: str = "UTC",
+    max_files_per_trigger: int = 8,
+    tombstones: bool = True,
+):
+    """S6/S7 as a stream — the reference's actual output mode: one CDC
+    record per committed change, Debezium-style envelope, emitted in commit
+    order per trigger (``ConnectSchemaFactory.kt`` record shape; the Kafka
+    topic's analog here is an append-only parquet directory with one
+    subdirectory per epoch).
+
+    Exactly-once: the file-source WAL delivers each marker once; a
+    crash-replayed epoch reuses its epoch id and *overwrites* its own
+    output directory, so downstream readers of ``out_dir`` never see
+    duplicates (the same effective guarantee Kafka idempotent producers
+    give the reference, minus the at-least-once caveat it documents).
+    """
+    from logminer_kafka_connect_spark.operators.apply import parse_committed
+    from logminer_kafka_connect_spark.operators.envelope import to_envelope
+    from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        log_df = spark.read.schema(EVENT_SCHEMA).parquet(events_path)
+        markers = filter_markers(batch_df)
+        committed = consolidate_with_markers(log_df, selectors, markers)
+        parsed = parse_committed(committed, db_timezone=db_timezone).filter(
+            F.col("parse_error").isNull()
+        )
+        env = to_envelope(parsed, schema, key_col=key_col, tombstones=tombstones)
+        env.write.mode("overwrite").parquet(f"{out_dir}/epoch-{epoch_id:06d}")
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

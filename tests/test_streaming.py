@@ -82,3 +82,56 @@ def test_streaming_restart_from_checkpoint(spark, tmpdir_path):
     _assert_state_equal(
         engine2.state().toPandas(), gen.expected_final_state(include_snapshot=True)
     )
+
+
+def test_stream_envelopes_sink(spark, tmpdir_path):
+    """S6 as a stream: every committed change emits one envelope record, in
+    epochs, exactly once; the last-write-wins reduction of the envelope
+    stream reproduces the expected final state."""
+    from logminer_kafka_connect_spark.streaming.driver import stream_envelopes
+    from logminer_kafka_connect_spark.engine import PAGES_SCHEMA
+
+    cfg = GeneratorConfig(seed=53, n_txns=70, n_urls=110, n_snapshot=0)
+    gen = CdcGenerator(cfg)
+    events_path = os.path.join(tmpdir_path, "events")
+    _write_event_log(spark, gen, events_path)
+    out_dir = os.path.join(tmpdir_path, "topic")
+
+    q = stream_envelopes(
+        spark,
+        events_path,
+        os.path.join(tmpdir_path, "ckpt"),
+        out_dir,
+        [("CRAWL", "PAGES")],
+        PAGES_SCHEMA,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+
+    env = spark.read.parquet(os.path.join(out_dir, "epoch-*"))
+    ops = gen.ops()
+    # one record per intended committed op (tombstones double the deletes)
+    n_deletes = sum(1 for o in ops if o["kind"] == "delete")
+    assert env.count() == len(ops) + n_deletes
+
+    # topic-compaction semantics: the last record per key (commit order)
+    # decides liveness — deleted keys end on 'd', live keys on 'i'/'u'
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy(
+        F.desc("source.commit_scn"), F.desc("source.scn")
+    )
+    last = (
+        env.filter(F.col("op") != "t")  # tombstones carry no source
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op")
+    )
+    live = {r["key"] for r in last.collect() if r["op"] != "d"}
+    exp = gen.expected_final_state(include_snapshot=False)
+    assert live == set(exp["url"])
+
+    # every delete has exactly one tombstone twin
+    assert env.filter(F.col("op") == "t").count() == n_deletes
