@@ -44,7 +44,7 @@ class CdcEngine:
         key_col: str = "url",
         schema_provider=None,
         fs=None,
-        salt_chunks: int | None = None,
+        salt_chunks: int | str | None = "auto",
     ):
         self.spark = spark
         self.workdir = workdir
@@ -66,8 +66,8 @@ class CdcEngine:
         )
         self.driver.salt_chunks = salt_chunks
 
-    def load_snapshot(self, source: DataFrame, snapshot_scn: int) -> dict:
-        return load_snapshot(self.table, source, snapshot_scn)
+    def load_snapshot(self, source: DataFrame, snapshot_scn: int, n_chunks: int | None = None) -> dict:
+        return load_snapshot(self.table, source, snapshot_scn, n_chunks=n_chunks)
 
     def replay(
         self,
@@ -110,7 +110,7 @@ class MultiTableCdcEngine:
         n_buckets: int = 32,
         fs=None,
         schema_provider=None,
-        salt_chunks: int | None = None,
+        salt_chunks: int | str | None = "auto",
     ):
         from logminer_kafka_connect_spark.streaming.driver import (
             MultiTableReplayDriver,
@@ -143,8 +143,8 @@ class MultiTableCdcEngine:
     def table(self, name: str) -> SnapshotTable:
         return self._tables[name]
 
-    def load_snapshot(self, name: str, source: DataFrame, snapshot_scn: int) -> dict:
-        return load_snapshot(self._tables[name], source, snapshot_scn)
+    def load_snapshot(self, name: str, source: DataFrame, snapshot_scn: int, n_chunks: int | None = None) -> dict:
+        return load_snapshot(self._tables[name], source, snapshot_scn, n_chunks=n_chunks)
 
     def replay(self, events: DataFrame, n_batches: int = 8, start_scn: int | None = None) -> ReplayStats:
         return self.driver.replay(events, n_batches=n_batches, start_scn=start_scn)

@@ -83,7 +83,7 @@ def oracle_to_spark_type(oracle_type: str) -> T.DataType:
 #   TIMESTAMP WITH LOCAL TZ:   '... xxx'       e.g. '... -07:00'
 
 
-def decode_literal(col: Column, data_type: T.DataType, db_timezone: str = "UTC") -> Column:
+def decode_literal(col: Column, data_type: T.DataType) -> Column:
     """Decode a parsed redo-SQL string literal into ``data_type``.
 
     Input is the literal with quotes already stripped and ``'NULL'`` already
@@ -99,7 +99,9 @@ def decode_literal(col: Column, data_type: T.DataType, db_timezone: str = "UTC")
         # normalized to UTC by the parse UDF (redo_parse._normalize_ts,
         # which receives db_timezone — SURVEY §7 hard spot 4). The session
         # zone is UTC, so a plain to_timestamp is the whole decode; applying
-        # to_utc_timestamp here would double-shift already-UTC values.
+        # to_utc_timestamp here would double-shift already-UTC values —
+        # which is why this decode layer takes NO timezone parameter (the
+        # r2 API carried a silently-ignored db_timezone here: an API trap).
         return F.to_timestamp(col)
     if isinstance(data_type, T.StringType):
         return col
@@ -116,14 +118,14 @@ class ColumnSpec:
         return oracle_to_spark_type(self.oracle_type)
 
 
-def decode_image_map(img: Column, fields: list[T.StructField], db_timezone: str = "UTC") -> list[Column]:
+def decode_image_map(img: Column, fields: list[T.StructField]) -> list[Column]:
     """Project a parsed ``map<string,string>`` image into typed columns.
 
     Image keys are the Oracle (uppercase) column names; output columns use
     the Spark-side (given) field names."""
     return [
         decode_literal(
-            F.try_element_at(img, F.lit(f.name.upper())), f.dataType, db_timezone
+            F.try_element_at(img, F.lit(f.name.upper())), f.dataType
         ).alias(f.name)
         for f in fields
     ]

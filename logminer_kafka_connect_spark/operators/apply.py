@@ -54,7 +54,6 @@ def build_merge_source(
     parsed: DataFrame,
     schema: T.StructType,
     key_col: str = "url",
-    db_timezone: str = "UTC",
 ) -> DataFrame:
     """Net-effect fold + typed projection -> SnapshotTable.merge contract.
 
@@ -83,7 +82,7 @@ def build_merge_source(
             cols.append(text.alias(field.name))
         else:
             raw = F.try_element_at(img, F.lit(field.name.upper()))
-            cols.append(decode_literal(raw, field.dataType, db_timezone).alias(field.name))
+            cols.append(decode_literal(raw, field.dataType).alias(field.name))
 
     set_cols = F.when(deleted | fresh, F.lit(None).cast("array<string>")).otherwise(
         F.when(
@@ -134,7 +133,6 @@ def build_merge_source_typed(
     parsed: DataFrame,
     schema: T.StructType,
     key_col: str = "url",
-    db_timezone: str = "UTC",
     salt_chunks: int | None = None,
     scn_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:

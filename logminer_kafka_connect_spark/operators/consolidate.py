@@ -11,8 +11,14 @@ reference's resume-from-``lowestChangeScn`` re-read
 (``logminer/LogminerFetcher.kt:32-41``) instead of translating the buffer.
 
 Scale notes (100 TB): changes join markers on ``xid`` — both sides come
-pre-filtered by pushed predicates; the marker side of a batch is tiny
-relative to changes, so it is broadcast. The change re-scan is bounded
+pre-filtered by pushed predicates; the marker side of a batch is usually
+tiny relative to changes, so it is broadcast — but only below a
+size threshold (``BROADCAST_MARKER_LIMIT``): a bulk replay whose single
+"batch" commits hundreds of millions of transactions must fall back to a
+shuffled equi-join (AQE picks the physical strategy) instead of building
+an executor-crushing broadcast map. The caller passes the marker count
+(known driver-side from ``plan_ranges``'s one aggregation) as
+``marker_count_hint``. The change re-scan is bounded
 below by the carryover watermark (A1) and above by the batch's commit-SCN
 ceiling; with the event log laid out scn-sorted/partitioned both bounds
 prune files (the analog of the reference mining only logs whose
@@ -30,6 +36,11 @@ from logminer_kafka_connect_spark.operators.filters import (
     filter_markers,
 )
 from logminer_kafka_connect_spark.sources.events import OP_COMMIT, OP_ROLLBACK
+
+# Broadcast the commit/rollback marker sets only below this many markers
+# (~1M xids ≈ a ~100 MB hashed relation — the safe ceiling for a broadcast
+# build; above it the join shuffles and AQE chooses the strategy).
+BROADCAST_MARKER_LIMIT = 1_000_000
 
 
 def reassemble_csf(changes: DataFrame) -> DataFrame:
@@ -74,6 +85,7 @@ def consolidate(
     commit_lo: int | None = None,
     commit_hi: int | None = None,
     change_lo: int | None = None,
+    marker_count_hint: int | None = None,
 ) -> DataFrame:
     """Changes of transactions *committed* in ``[commit_lo, commit_hi)``,
     reassembled, stamped with their ``commit_scn`` (J1), rollbacks excluded
@@ -85,7 +97,9 @@ def consolidate(
         markers = markers.filter(F.col("scn") >= commit_lo)
     if commit_hi is not None:
         markers = markers.filter(F.col("scn") < commit_hi)
-    return consolidate_with_markers(events, selectors, markers, commit_hi, change_lo)
+    return consolidate_with_markers(
+        events, selectors, markers, commit_hi, change_lo, marker_count_hint
+    )
 
 
 def consolidate_with_markers(
@@ -94,10 +108,17 @@ def consolidate_with_markers(
     markers: DataFrame,
     commit_hi: int | None = None,
     change_lo: int | None = None,
+    marker_count_hint: int | None = None,
 ) -> DataFrame:
     """Consolidate against an explicit marker set (streaming front-end:
     each trigger applies exactly the markers it delivered — exactly-once
-    per marker via the file-source WAL — rather than an SCN range)."""
+    per marker via the file-source WAL — rather than an SCN range).
+
+    ``marker_count_hint``: the (estimated) number of marker rows. Below
+    ``BROADCAST_MARKER_LIMIT`` (or when None — bounded-microbatch contract)
+    the commit/rollback sets are broadcast; at or above it the join
+    shuffles on ``xid`` and AQE picks the physical strategy (a 10^8-txn
+    bulk batch must not build a broadcast map)."""
     commits = (
         markers.filter(F.col("op_code") == OP_COMMIT)
         .select("xid", F.col("scn").alias("commit_scn"))
@@ -118,11 +139,14 @@ def consolidate_with_markers(
     changes = reassemble_csf(changes).drop("commit_scn_raw")
 
     # J1: equi-join to the committed-xid set — broadcast the marker side
-    # (bounded by txns committing in this batch, orders of magnitude smaller
-    # than the change set). J2: anti-join rolled-back xids
-    # (TransactionConsolidator.kt:42-45).
-    out = changes.join(F.broadcast(commits), "xid", "inner")
-    out = out.join(F.broadcast(rollbacks), "xid", "left_anti")
+    # when it is genuinely small (bounded by txns committing in this batch,
+    # usually orders of magnitude smaller than the change set). J2:
+    # anti-join rolled-back xids (TransactionConsolidator.kt:42-45).
+    small = marker_count_hint is None or marker_count_hint < BROADCAST_MARKER_LIMIT
+    if small:
+        commits, rollbacks = F.broadcast(commits), F.broadcast(rollbacks)
+    out = changes.join(commits, "xid", "inner")
+    out = out.join(rollbacks, "xid", "left_anti")
     return out
 
 

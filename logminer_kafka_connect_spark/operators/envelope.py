@@ -31,15 +31,14 @@ CONNECTOR_NAME = "logminer-kafka-connect-spark"
 OP_CHAR = {OP_INSERT: "i", OP_UPDATE: "u", OP_DELETE: "d"}  # Operation.kt:3-8
 
 
-def _typed_struct(img: Column, schema: T.StructType, db_timezone: str) -> Column:
-    return F.struct(*decode_image_map(img, schema.fields, db_timezone))
+def _typed_struct(img: Column, schema: T.StructType) -> Column:
+    return F.struct(*decode_image_map(img, schema.fields))
 
 
 def to_envelope(
     parsed: DataFrame,
     schema: T.StructType,
     key_col: str = "url",
-    db_timezone: str = "UTC",
     tombstones: bool = False,
 ) -> DataFrame:
     """Parsed committed changes -> envelope records.
@@ -80,10 +79,10 @@ def to_envelope(
         key_expr(key_col.upper()).alias("key"),
         op_char.alias("op"),
         F.when(
-            F.col("op_code") != OP_INSERT, _typed_struct(F.col("before"), schema, db_timezone)
+            F.col("op_code") != OP_INSERT, _typed_struct(F.col("before"), schema)
         ).alias("before"),
         F.when(
-            F.col("op_code") != OP_DELETE, _typed_struct(enriched_after, schema, db_timezone)
+            F.col("op_code") != OP_DELETE, _typed_struct(enriched_after, schema)
         ).alias("after"),
         source.alias("source"),
         F.unix_millis(F.current_timestamp()).alias("ts_ms"),

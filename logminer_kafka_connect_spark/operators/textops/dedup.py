@@ -151,7 +151,7 @@ def jaccard_pairs(
         )
         a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
         b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
-        return (
+        out = (
             pairs.join(a, "id_a")
             .join(b, "id_b")
             .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
@@ -167,6 +167,13 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
+        # Materialize the (small) verified-pair result eagerly, then drop
+        # the cached shingle sets — otherwise repeated calls in a
+        # long-lived session accumulate cached partitions forever (r2
+        # ADVICE; CacheManager never GCs explicit persists).
+        out = out.localCheckpoint(eager=True)
+        sets.unpersist()
+        return out
 
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))  # shingles distinct already
     a = sh.alias("a")
@@ -216,7 +223,12 @@ def minhash_lsh_dedup(
     # (id_a ids, id_b ids, final pair join) — persist, or the shingle+md5
     # work reruns per consumer.
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands).persist()
-    return jaccard_pairs(df, cands, id_col, text_col, shingle_k, threshold)
+    # jaccard_pairs materializes its result eagerly (localCheckpoint), so
+    # the candidate cache can be dropped before returning — no persisted
+    # blocks outlive the call (r2 ADVICE hygiene item)
+    out = jaccard_pairs(df, cands, id_col, text_col, shingle_k, threshold)
+    cands.unpersist()
+    return out
 
 
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -33,6 +33,15 @@ with JSON metadata:
   no-op. Combined with deterministic microbatch SCN ranges
   (streaming/driver.py) this upgrades the reference's at-least-once
   guarantee (``manifest.json:12-14``) to effective exactly-once.
+  The applied-id record is **bounded** (the reference's Kafka Connect
+  offset is likewise O(1), ``Offset.kt:19-38``): bounded-replay batches
+  pass their exclusive commit-SCN ceiling (``scn_hi``) and compact into a
+  single monotonic ``applied_scn_hi`` watermark — any cdc range whose
+  ceiling is at or below it is already applied (ranges commit in SCN
+  order). Ids without SCN semantics (initial snapshot, streaming epochs)
+  are kept exactly, trimmed FIFO to the last ``MAX_APPLIED_IDS`` — safe
+  because their only re-delivery source (the streaming WAL / a crash-resumed
+  snapshot) replays the most recent epochs, never ancient ones.
 
 Single-writer is assumed (the replay driver); Iceberg's optimistic-retry
 commit protocol is out of scope and noted as a deviation.
@@ -55,6 +64,10 @@ from pyspark.sql import types as T
 from logminer_kafka_connect_spark.plans.fs import LocalFS
 
 _VERSION_RE = re.compile(r"^v(\d{6})\.json$")
+
+# Exact applied-batch-ids kept in the manifest (watermark-compacted cdc ids
+# never count against this; see module docstring).
+MAX_APPLIED_IDS = 1024
 
 # Contract for merge() inputs: the net-effect batch carries the table's
 # columns plus these control columns (built by operators/apply.py).
@@ -158,7 +171,41 @@ class SnapshotTable:
         return out
 
     def applied_batch_ids(self) -> set[str]:
+        """Exactly-kept recent ids (watermark-compacted cdc ids are NOT in
+        this set — use ``is_applied`` with the batch's ``scn_hi``)."""
         return set(self.metadata().get("applied_batch_ids", []))
+
+    def applied_scn_hi(self) -> int | None:
+        """Commit-SCN watermark: every bounded-replay batch whose exclusive
+        ceiling is <= this has been applied (ranges commit in SCN order)."""
+        return self.metadata().get("applied_scn_hi")
+
+    def is_applied(self, batch_id: str, scn_hi: int | None = None) -> bool:
+        """Idempotence check for a batch. ``scn_hi`` is the batch's
+        *exclusive* commit-SCN ceiling (bounded-replay ranges only; pass
+        None for snapshot/streaming ids, which match exactly)."""
+        meta = self.metadata()
+        if batch_id in set(meta.get("applied_batch_ids", [])):
+            return True
+        hi = meta.get("applied_scn_hi")
+        return scn_hi is not None and hi is not None and scn_hi <= hi
+
+    @staticmethod
+    def _advance_applied(meta: dict[str, Any], batch_id: str | None, scn_hi: int | None) -> dict[str, Any]:
+        """New ``applied_batch_ids`` / ``applied_scn_hi`` manifest fields
+        after committing ``batch_id``: SCN-ranged ids fold into the
+        watermark (O(1) metadata over any number of batches); others append
+        to the exact list, FIFO-trimmed to MAX_APPLIED_IDS."""
+        ids = list(meta.get("applied_batch_ids", []))
+        hi = meta.get("applied_scn_hi")
+        if batch_id is not None:
+            if scn_hi is not None:
+                hi = scn_hi if hi is None else max(hi, scn_hi)
+            elif batch_id not in ids:
+                ids.append(batch_id)
+                if len(ids) > MAX_APPLIED_IDS:
+                    ids = ids[-MAX_APPLIED_IDS:]
+        return {"applied_batch_ids": ids, "applied_scn_hi": hi}
 
     # --------------------------------------------------------------- create
     @classmethod
@@ -291,7 +338,7 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> MergeStats:
         """Full overwrite (used by the initial snapshot load, S2/S3)."""
         meta = self.metadata()
-        if batch_id is not None and batch_id in set(meta.get("applied_batch_ids", [])):
+        if batch_id is not None and self.is_applied(batch_id):
             return MergeStats(False, meta["version"], 0, 0)
         version = meta["version"] + 1
         schema = T.StructType.fromJson(meta["schema"])
@@ -310,7 +357,7 @@ class SnapshotTable:
             buckets=buckets,
             data_columns=data_columns,
             batch_id=batch_id,
-            applied_batch_ids=meta.get("applied_batch_ids", []) + ([batch_id] if batch_id else []),
+            **self._advance_applied(meta, batch_id, None),
         )
         self._commit(new_meta)
         return MergeStats(True, version, len(buckets), -1)
@@ -322,6 +369,7 @@ class SnapshotTable:
         source: DataFrame,
         batch_id: str | None = None,
         prune_buckets: bool = True,
+        scn_hi: int | None = None,
     ) -> MergeStats:
         """MERGE INTO this table (J6/S7 in SURVEY.md §2.4).
 
@@ -354,9 +402,13 @@ class SnapshotTable:
         job (no extra action). Incremental microbatches keep the pruned
         (default) plan — at 100 TB that is the difference between rewriting
         batch-sized slices and rewriting the table.
+
+        ``scn_hi`` — the batch's *exclusive* commit-SCN ceiling (bounded
+        replay only): compacts the applied-id record into the
+        ``applied_scn_hi`` watermark instead of growing a list forever.
         """
         meta = self.metadata()
-        if batch_id is not None and batch_id in set(meta.get("applied_batch_ids", [])):
+        if batch_id is not None and self.is_applied(batch_id, scn_hi=scn_hi):
             return MergeStats(False, meta["version"], 0, 0)
 
         key_cols = meta["key_cols"]
@@ -461,8 +513,8 @@ class SnapshotTable:
             buckets=buckets,
             data_columns=data_columns,
             batch_id=batch_id,
-            applied_batch_ids=meta.get("applied_batch_ids", []) + ([batch_id] if batch_id else []),
             summary={"source_rows": n_src, "affected_buckets": len(affected)},
+            **self._advance_applied(meta, batch_id, scn_hi),
         )
         self._commit(new_meta)
         return MergeStats(True, version, len(affected), n_src)

@@ -70,6 +70,11 @@ def get_spark(
         # covered by the manifest: a commit dir is referenced only after the
         # metadata swap)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # FAIR scheduling between concurrently-submitted jobs: the
+        # multi-table driver applies N tables from a thread pool (one
+        # scheduler pool per table) — under FIFO a small table's jobs queue
+        # behind a big table's full-log scan
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -36,20 +36,34 @@ def main():
     # A/B measured: a fixed high count like 64 costs ~2x at local[8] from
     # per-task pandas-UDF overhead on tiny Arrow batches, while per-core
     # partitions keep batches full). Override with LMKC_SHUFFLE.
+    extra = {}
+    if os.environ.get("LMKC_AQE") == "0":  # A/B knob
+        extra["spark.sql.adaptive.enabled"] = "false"
     spark = get_spark(
         app_name=f"replay-{n_cpus}cpu",
         master=f"local[{n_cpus}]",
         shuffle_partitions=int(os.environ.get("LMKC_SHUFFLE", str(n_cpus))),
         driver_memory="48g",
+        extra_conf=extra,
     )
     workdir = tempfile.mkdtemp(prefix="lmkc-replayw-")
     try:
         timing = os.environ.get("LMKC_TIMING") == "1"
+        # LMKC_TRACKING=1: the production configuration — per-batch parse
+        # error counts, per-partition lineage, and the open-txn watermark
+        # all on (the bench's default measures the steady-state ceiling
+        # with bookkeeping off; both numbers ship in BENCH JSON)
+        tracking = os.environ.get("LMKC_TRACKING") == "1"
         t_init = time.time()
         engine = CdcEngine(spark, workdir, n_buckets=64)
-        engine.driver.track_parse_errors = False
-        engine.driver.track_partition_lineage = False
-        engine.driver.track_watermark = False
+        engine.driver.track_parse_errors = tracking
+        engine.driver.track_partition_lineage = tracking
+        engine.driver.track_watermark = tracking
+        # salt mode A/B knob: default is the engine default ("auto")
+        salt_env = os.environ.get("LMKC_SALT", "auto")
+        engine.driver.salt_chunks = (
+            None if salt_env == "off" else "auto" if salt_env == "auto" else int(salt_env)
+        )
         # one batch over the whole log touches every bucket by construction
         # -> the bulk-replay merge plan (no pre-count job, single pass)
         engine.driver.prune_buckets = False

@@ -105,7 +105,7 @@ def test_crash_resume_no_duplicates(spark, tmpdir_path):
     engine.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
     events = gen.events_df(spark)
 
-    ranges, ddls = engine.driver.plan_ranges(events, 6)
+    ranges, ddls, _ = engine.driver.plan_ranges(events, 6)
     change_lo = None
     for lo, hi in ranges[:3]:
         rec = engine.driver.process_range(events, lo, hi, change_lo)
