@@ -53,10 +53,16 @@ def get_spark(
         # null-on-miss semantics (map access on partial images, lenient casts)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", driver_memory)
-        # Throughput collector: the CDC payload (multi-KB strings through
-        # collect_list/fold/merge) allocates fast; default G1 spends ~2x
-        # wall vs ParallelGC at 32 local threads (measured, BENCH notes)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # G1, explicitly: the CDC payload (multi-KB strings through
+        # collect_list/fold/merge) allocates fast, and ParallelGC's full
+        # stop-the-world pauses serialize every executor thread — measured
+        # 17.8s of STW in a 72s 8-core replay, inflating tree CPU 346->514s
+        # for identical work. G1's concurrent cycles keep the inflation at
+        # zero: A/B on the same 1.9M-event input G1 is +37% at local[8],
+        # +17% at local[2], +13% at local[32] (BENCH notes). This is also
+        # the scaling-efficiency lever: GC pause time grows with thread
+        # count under ParallelGC, taxing exactly the high-parallelism level.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
         .config("spark.ui.enabled", "false")
         # the CDC payload is html/text: zstd shrinks shuffle + parquet bytes
         # ~2x vs lz4/snappy — the pipeline's non-scaling cost is disk IO,

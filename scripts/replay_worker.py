@@ -20,6 +20,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _tree_cpu_s() -> float:
+    """Total user+sys CPU seconds of this process and every live
+    descendant (JVM + pandas-UDF workers) — /proc walk, diagnostics only
+    (LMKC_CPUSTAT=1)."""
+    import glob
+
+    me = os.getpid()
+    ppids = {}
+    stats = {}
+    for d in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            parts = open(d).read().rsplit(") ", 1)
+            tail = parts[1].split()
+            pid = int(d.split("/")[2])
+            ppids[pid] = int(tail[1])
+            stats[pid] = (int(tail[11]) + int(tail[12])) / os.sysconf("SC_CLK_TCK")
+        except Exception:
+            pass
+    total = 0.0
+    for pid in stats:
+        p = pid
+        for _ in range(20):
+            if p == me:
+                total += stats[pid]
+                break
+            p = ppids.get(p, 0)
+            if p <= 1:
+                break
+    return total
+
+
 def main():
     n_cpus, events_path, snap_path, n_events = (
         int(sys.argv[1]),
@@ -39,6 +70,13 @@ def main():
     extra = {}
     if os.environ.get("LMKC_AQE") == "0":  # A/B knob
         extra["spark.sql.adaptive.enabled"] = "false"
+    if os.environ.get("LMKC_CODEC"):  # A/B knob (shuffle/broadcast/spill codec)
+        extra["spark.io.compression.codec"] = os.environ["LMKC_CODEC"]
+    if os.environ.get("LMKC_GCLOG") or os.environ.get("LMKC_GCOPTS"):  # A/B knobs
+        opts = os.environ.get("LMKC_GCOPTS", "-XX:+UseParallelGC")
+        if os.environ.get("LMKC_GCLOG"):
+            opts += " -Xlog:gc:" + os.environ["LMKC_GCLOG"]
+        extra["spark.driver.extraJavaOptions"] = opts
     spark = get_spark(
         app_name=f"replay-{n_cpus}cpu",
         master=f"local[{n_cpus}]",
@@ -107,18 +145,19 @@ def main():
         if timing:
             print(f"## worker: warmup {time.time() - t_w:.2f}s", flush=True)
 
+        cpustat = os.environ.get("LMKC_CPUSTAT") == "1"
+        cpu0 = _tree_cpu_s() if cpustat else 0.0
         t0 = time.time()
         stats = engine.replay(events, n_batches=1)
         wall = time.time() - t0
-        print(
-            json.dumps(
-                {
-                    "wall_s": round(wall, 2),
-                    "events_per_sec": round(n_events / wall, 1),
-                    "net_rows": stats.n_events_applied,
-                }
-            )
-        )
+        out = {
+            "wall_s": round(wall, 2),
+            "events_per_sec": round(n_events / wall, 1),
+            "net_rows": stats.n_events_applied,
+        }
+        if cpustat:
+            out["tree_cpu_s"] = round(_tree_cpu_s() - cpu0, 1)
+        print(json.dumps(out))
     finally:
         spark.stop()
         shutil.rmtree(workdir, ignore_errors=True)

@@ -79,3 +79,38 @@ def test_trailing_comment_tolerated():
         "insert into \"C\".\"T\"(\"A\") values ('x') -- temporary tables"
     )
     assert after == {"A": "x"}
+
+
+def test_fast_parser_matches_cursor_oracle_on_generator_output():
+    """Differential pin: the round-3 regex fast path must agree with the
+    rounds-1/2 cursor parser statement-for-statement on realistic redo SQL
+    (including CSF-reassembled multi-KB statements and noise)."""
+    from logminer_kafka_connect_spark.functions.redo_parse import (
+        parse_redo_statement_slow,
+    )
+    from logminer_kafka_connect_spark.sources.generator import CdcGenerator, GeneratorConfig
+
+    gen = CdcGenerator(GeneratorConfig(seed=13, n_txns=400, n_urls=300, n_snapshot=0))
+    pdf = gen.events_pdf()
+    stmts = [
+        s
+        for s, op in zip(pdf["sql_redo"], pdf["op_code"])
+        if op in (1, 2, 3) and s
+    ]
+    assert len(stmts) > 500
+    n_err = 0
+    for s in stmts:
+        try:
+            fast = parse_redo_statement(s)
+        except Exception as e:
+            fast = ("ERR", type(e).__name__)
+        try:
+            slow = parse_redo_statement_slow(s)
+        except Exception as e:
+            slow = ("ERR", type(e).__name__)
+        if isinstance(fast, tuple) and fast and fast[0] == "ERR":
+            n_err += 1
+        assert fast == slow, s[:200]
+    # CSF chunks are expected to fail in BOTH parsers (reassembly happens
+    # upstream); agreement on failures is part of the contract
+    assert n_err < len(stmts)
