@@ -313,7 +313,15 @@ class ReplayDriver:
             n_quarantined = self._quarantine(failing, quarantine_key or batch_id)
         return stats.source_rows, n_parse_errors, n_quarantined, part_df
 
-    def process_range(self, events: DataFrame, lo: int, hi: int, change_lo: int | None, marker_count_hint: int | None = None) -> dict:
+    def process_range(
+        self,
+        events: DataFrame,
+        lo: int,
+        hi: int,
+        change_lo: int | None,
+        marker_count_hint: int | None = None,
+        salt_override: int | None | str = "unset",
+    ) -> dict:
         batch_id = f"cdc-{lo}-{hi}"
         if batch_id in self.lineage.applied_batch_ids():
             return {"batch_id": batch_id, "skipped": True}
@@ -323,7 +331,11 @@ class ReplayDriver:
             events, self.selectors, lo, hi, change_lo=change_lo,
             marker_count_hint=marker_count_hint,
         )
-        salt = self._resolve_salt_chunks(events, hi, change_lo, self.key_col)
+        salt = (
+            self._resolve_salt_chunks(events, hi, change_lo, self.key_col)
+            if salt_override == "unset"
+            else salt_override
+        )
         n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
             committed, batch_id, self.table, self.key_col, scn_bounds=(lo, hi),
             salt_chunks=salt,
@@ -435,6 +447,22 @@ class ReplayDriver:
         if start_offset is not None:
             events = skip_to_offset(events, start_offset[0], start_offset[1])
         t0 = time.time()
+        # Overlap the auto-salt skew probe with range planning: both are
+        # small driver-blocking jobs (~1s each + scheduling gaps), and the
+        # probe needs no SCN bounds — skew is a property of the workload's
+        # key distribution, not of one batch window. One probe per replay()
+        # call serves every range (it was per-range before: N planning jobs
+        # for N batches). FAIR scheduling keeps the two jobs' tasks
+        # interleaved instead of queued.
+        salt_fut = None
+        if self.salt_chunks == "auto":
+            from concurrent.futures import ThreadPoolExecutor
+
+            _pool = ThreadPoolExecutor(max_workers=1)
+            salt_fut = _pool.submit(
+                self._resolve_salt_chunks, events, None, start_scn, self.key_col
+            )
+            _pool.shutdown(wait=False)
         ranges, ddls, n_markers = self.plan_ranges(events, n_batches, start_scn)
         if os.environ.get("LMKC_TIMING") == "1":
             print(f"## replay: plan_ranges {time.time() - t0:.2f}s", flush=True)
@@ -451,7 +479,10 @@ class ReplayDriver:
             # per-range marker estimate: proportional share of the span
             # with a 2x safety factor, capped by the exact total
             hint = min(n_markers, 2 * -(-n_markers * (hi - lo) // total_span))
-            rec = self.process_range(events, lo, hi, change_lo, marker_count_hint=hint)
+            rec = self.process_range(
+                events, lo, hi, change_lo, marker_count_hint=hint,
+                salt_override=salt_fut.result() if salt_fut is not None else "unset",
+            )
             if not rec.get("skipped"):
                 n_applied += rec["n_net_rows"]
                 n_errors += rec["n_parse_errors"]

@@ -68,10 +68,19 @@ def main():
     # per-task pandas-UDF overhead on tiny Arrow batches, while per-core
     # partitions keep batches full). Override with LMKC_SHUFFLE.
     extra = {}
+    # Align file-scan splits to the core count: the default 128m
+    # maxPartitionBytes packed the bench log into 13 splits — 1.6 waves on
+    # 8 cores, measured stage occupancy 0.82 (event-log analysis). A
+    # multiple of the core count packs into whole waves.
+    extra["spark.sql.files.minPartitionNum"] = str(2 * n_cpus)
     if os.environ.get("LMKC_AQE") == "0":  # A/B knob
         extra["spark.sql.adaptive.enabled"] = "false"
     if os.environ.get("LMKC_CODEC"):  # A/B knob (shuffle/broadcast/spill codec)
         extra["spark.io.compression.codec"] = os.environ["LMKC_CODEC"]
+    if os.environ.get("LMKC_EVENTLOG"):  # diagnostics: job/stage timeline
+        os.makedirs(os.environ["LMKC_EVENTLOG"], exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = os.environ["LMKC_EVENTLOG"]
     if os.environ.get("LMKC_GCLOG") or os.environ.get("LMKC_GCOPTS"):  # A/B knobs
         opts = os.environ.get("LMKC_GCOPTS", "-XX:+UseParallelGC")
         if os.environ.get("LMKC_GCLOG"):
