@@ -370,6 +370,7 @@ class SnapshotTable:
         batch_id: str | None = None,
         prune_buckets: bool = True,
         scn_hi: int | None = None,
+        pre_commit_check=None,
     ) -> MergeStats:
         """MERGE INTO this table (J6/S7 in SURVEY.md §2.4).
 
@@ -489,6 +490,23 @@ class SnapshotTable:
                 t0 = time.time()
             if obs is not None:
                 n_src = int(obs.get["n_src"])
+            if pre_commit_check is not None and not pre_commit_check():
+                # Staged-commit abort: the write job ran, but a caller-side
+                # validity check (e.g. parse errors observed during the
+                # job) failed — discard the staged commit dir and leave the
+                # table untouched. This is what lets the driver's tracked
+                # mode run ONE optimistic pass (error accounting via
+                # Observation inside the merge job) instead of a separate
+                # full parse pre-pass: errors are rare, and the atomic
+                # manifest swap means "ran the job" is not "committed".
+                staged = {
+                    os.path.dirname(p)
+                    for paths in new_buckets_map.values()
+                    for p in paths
+                }
+                for d in staged:
+                    self.fs.delete(d)
+                return MergeStats(False, meta["version"], len(affected), n_src)
         finally:
             if prune_buckets:
                 src.unpersist()

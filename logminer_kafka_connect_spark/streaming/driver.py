@@ -116,6 +116,9 @@ class ReplayDriver:
     #: below this many sampled change rows skew is harmless (a "hot" key is
     #: a few hundred events — one task handles it fine)
     AUTO_SALT_MIN_ROWS = 10_000
+    #: replay() runs one overlapped skew probe for the whole call; the
+    #: multi-table subclass probes per table instead and turns this off
+    _replay_salt_probe = True
 
     def _resolve_salt_chunks(
         self, events: DataFrame, hi: int | None, change_lo: int | None, key_col: str
@@ -245,6 +248,57 @@ class ReplayDriver:
             db_timezone=self.db_timezone, keep_sql=self.track_parse_errors,
         )
         if self.track_parse_errors or self.track_partition_lineage:
+            # Optimistic single-pass tracked mode. The r2 design persisted
+            # the full parsed batch (multi-KB typed images + kept raw SQL)
+            # to count errors before merging — measured ~2x the untracked
+            # ceiling at 8 cores (147.9s vs 72.2s on the 2.9M-event input).
+            # Production mode now pays almost nothing over the ceiling:
+            #  - A7 per-partition lineage: one narrow job over `committed`
+            #    with no parse and no sql_redo (Catalyst prunes the CSF
+            #    concat when only scn/partition_id are selected);
+            #  - parse-error count: an Observation inside the merge job
+            #    itself, checked AFTER the write job but BEFORE the atomic
+            #    manifest swap (merge(pre_commit_check=...)) — on errors
+            #    the staged commit is discarded and the r2 persist/refresh/
+            #    quarantine machinery below runs as the rare slow path.
+            from pyspark.sql import Observation
+
+            ok = F.col("parse_error").isNull()
+            if self.track_partition_lineage:
+                per_part = (
+                    committed.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(
+                        F.min("scn").alias("scn_min"),
+                        F.max("scn").alias("scn_max"),
+                        F.count(F.lit(1)).alias("n_rows"),
+                    )
+                    .collect()
+                )
+                part_df = self.spark.createDataFrame(
+                    [
+                        (r["partition_id"], r["scn_min"], r["scn_max"], r["n_rows"], batch_id)
+                        for r in per_part
+                        if r["n_rows"]
+                    ],
+                    "partition_id int, scn_min bigint, scn_max bigint, n_rows bigint, batch_id string",
+                )
+            err_obs = Observation()
+            narrow = parse_committed_typed(
+                committed, schema, key_col=key_col,
+                db_timezone=self.db_timezone, keep_sql=False,
+            ).observe(err_obs, F.count(F.col("parse_error")).alias("n_err"))
+            source = build_merge_source_typed(
+                narrow.filter(ok), schema, key_col=key_col,
+                salt_chunks=salt_chunks, scn_bounds=scn_bounds,
+            )
+            stats = table.merge(
+                self.spark, source, batch_id=batch_id,
+                prune_buckets=self.prune_buckets, scn_hi=scn_hi,
+                pre_commit_check=lambda: int(err_obs.get["n_err"]) == 0,
+            )
+            if stats.applied:
+                return stats.source_rows, 0, 0, part_df
+            # aborted: parse errors present -> the full r2 slow path
             parsed = parsed.persist()
             if self.track_parse_errors:
                 n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
@@ -336,17 +390,29 @@ class ReplayDriver:
             if salt_override == "unset"
             else salt_override
         )
+        # The open-txn watermark scans the immutable input log — nothing it
+        # reads depends on the merge, and nothing the merge reads depends on
+        # it; only the lineage record (written last) needs its result. Run
+        # it concurrently with the parse->fold->MERGE job instead of after
+        # (it was a measured ~13s serial tail per bulk batch at 8 cores).
+        wm_fut = None
+        if self.track_watermark:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _pool = ThreadPoolExecutor(max_workers=1)
+            # bounded below by the carryover watermark: rescanning from SCN 0
+            # every batch is quadratic in log length (see open_txn_watermark)
+            wm_fut = _pool.submit(
+                open_txn_watermark, events, self.selectors, hi, change_lo=change_lo
+            )
+            _pool.shutdown(wait=False)
         n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
             committed, batch_id, self.table, self.key_col, scn_bounds=(lo, hi),
             salt_chunks=salt,
         )
 
-        if self.track_watermark:
-            # bounded below by the carryover watermark: rescanning from SCN 0
-            # every batch is quadratic in log length (see open_txn_watermark)
-            watermark, n_open = open_txn_watermark(
-                events, self.selectors, hi, change_lo=change_lo
-            )
+        if wm_fut is not None:
+            watermark, n_open = wm_fut.result()
             resume_change_lo = watermark if watermark is not None else hi
         else:
             # resume falls back to a full change re-scan (correct, slower)
@@ -455,7 +521,7 @@ class ReplayDriver:
         # for N batches). FAIR scheduling keeps the two jobs' tasks
         # interleaved instead of queued.
         salt_fut = None
-        if self.salt_chunks == "auto":
+        if self.salt_chunks == "auto" and self._replay_salt_probe:
             from concurrent.futures import ThreadPoolExecutor
 
             _pool = ThreadPoolExecutor(max_workers=1)
@@ -694,6 +760,7 @@ class MultiTableReplayDriver(ReplayDriver):
         self.bindings = bindings
         self.concurrent_tables = True
         self.max_concurrent_tables = 4
+        self._replay_salt_probe = False  # per-table probes in _apply_tables
 
     def _apply_tables(
         self, committed: DataFrame, batch_id: str, lo_hi, events: DataFrame | None,
@@ -769,7 +836,18 @@ class MultiTableReplayDriver(ReplayDriver):
                 return b.table
         return self.table
 
-    def process_range(self, events: DataFrame, lo: int, hi: int, change_lo: int | None, marker_count_hint: int | None = None) -> dict:
+    def process_range(
+        self,
+        events: DataFrame,
+        lo: int,
+        hi: int,
+        change_lo: int | None,
+        marker_count_hint: int | None = None,
+        salt_override: int | None | str = "unset",
+    ) -> dict:
+        # salt_override is accepted for base-class compatibility but
+        # ignored: each binding has its own key column, so the multi-table
+        # driver resolves skew per table in _apply_tables.
         batch_id = f"cdc-{lo}-{hi}"
         if batch_id in self.lineage.applied_batch_ids():
             return {"batch_id": batch_id, "skipped": True}
