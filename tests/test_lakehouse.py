@@ -294,3 +294,42 @@ def test_expire_keeps_files_shared_with_retained(spark, tmpdir_path):
     t.expire_snapshots(keep_last=1)  # only v2 retained; v1 dirs still shared
     state = {r["url"]: r for r in t.read(spark).collect()}
     assert len(state) == 20 and state["u0"]["lang"] == "fr" and state["u1"]["n"] == 1
+
+
+def test_writer_lock_blocks_concurrent_maintenance(spark, tmpdir_path):
+    """A second writer (e.g. an expiry job against a live replay) must fail
+    loudly while the lock is held, succeed after release, and steal a
+    stale lock whose holder is gone (crash-resume)."""
+    import json
+    import pytest
+
+    from logminer_kafka_connect_spark.plans.lakehouse import ConcurrentWriterError
+
+    t = _mk(tmpdir_path)
+    rows = [Row(url="u1", lang="en", n=1, **{OP_COL: "u", SET_COLS_COL: None})]
+
+    token = t._acquire_writer_lock("merge")
+    with pytest.raises(ConcurrentWriterError):
+        t.expire_snapshots(keep_last=1)
+    with pytest.raises(ConcurrentWriterError):
+        t.merge(spark, _src(spark, rows), batch_id="b0")
+    t._release_writer_lock(token)
+
+    # after release, writes proceed
+    t.merge(spark, _src(spark, rows), batch_id="b0")
+    assert t.read(spark).count() == 1
+
+    # crashed holder: dead pid on this host -> lock is stolen, not fatal
+    t.fs.write_text_atomic(
+        t._lock_path(),
+        json.dumps({"token": "x", "pid": 2**22 + 7, "host": os.uname().nodename,
+                    "op": "merge", "ts": __import__("time").time()}),
+    )
+    t.merge(
+        spark,
+        _src(spark, [Row(url="u2", lang="de", n=2, **{OP_COL: "u", SET_COLS_COL: None})]),
+        batch_id="b1",
+    )
+    assert t.read(spark).count() == 2
+    # lock released after the stolen write completed
+    assert not t.fs.exists(t._lock_path())
