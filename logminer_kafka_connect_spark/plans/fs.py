@@ -61,6 +61,17 @@ class LocalFS:
         elif os.path.exists(path):
             os.remove(path)
 
+    def create_exclusive(self, path: str, data: str) -> bool:
+        """Atomically create ``path`` with ``data`` iff it does not exist.
+        Returns False if another writer got there first (O_EXCL)."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+        return True
+
 
 class HadoopFS:
     """Hadoop FileSystem backend (cluster deployments; also serves
@@ -115,3 +126,19 @@ class HadoopFS:
         p = self._path(path)
         if fs.exists(p):
             fs.delete(p, True)
+
+    def create_exclusive(self, path: str, data: str) -> bool:
+        """Create-if-absent via ``FileSystem.create(overwrite=False)`` —
+        atomic on HDFS (namenode-serialized); on S3A it is best-effort
+        (object stores lack atomic create-exclusive), which matches the
+        advisory nature of the writer lock."""
+        fs = self._fs(path)
+        try:
+            stream = fs.create(self._path(path), False)
+        except Exception:
+            return False
+        try:
+            stream.write(data.encode("utf-8"))
+        finally:
+            stream.close()
+        return True
