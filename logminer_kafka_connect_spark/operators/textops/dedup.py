@@ -23,6 +23,8 @@ All hashes are ``md5`` so a DuckDB oracle reproduces results exactly
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -171,6 +173,13 @@ def jaccard_pairs(
         # the cached shingle sets — otherwise repeated calls in a
         # long-lived session accumulate cached partitions forever (r2
         # ADVICE; CacheManager never GCs explicit persists).
+        # LMKC_EXPLAIN=1 (scripts/explain_plans.py) skips the
+        # materialization so the full verification plan — the LeftSemi
+        # below the shingle aggregation that makes this candidate-bounded —
+        # stays visible in explain output; in that mode the persisted sets
+        # survive until session end, which a plan-dump session accepts.
+        if os.environ.get("LMKC_EXPLAIN") == "1":
+            return out
         out = out.localCheckpoint(eager=True)
         sets.unpersist()
         return out

@@ -46,6 +46,11 @@ def explain_str(df) -> str:
 
 
 def main():
+    import os
+
+    # keep textops' eager materialization (cache-hygiene localCheckpoint)
+    # out of the way so the FULL verification plan is dumped
+    os.environ["LMKC_EXPLAIN"] = "1"
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plans", shuffle_partitions=8)
 
