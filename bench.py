@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "720000"))
+BENCH_TXNS = int(os.environ.get("SPARK_GRAFT_BENCH_TXNS", "1200000"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 # N / 4N parallelism pair for the scaling criterion. Default N=2: this
 # sandbox's "32 CPUs" are SMT/shared — raw-CPU control (BENCH/BASELINE.md)
@@ -189,10 +189,10 @@ def run_scaling(results: dict) -> dict:
     # JSON; a symmetric equal-count best-of and a median-of-runs ratio are
     # reported alongside (r2 ADVICE: the criterion must not depend on the
     # asymmetric max).
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2500"))
     min_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_REPS", "3"))
     max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8"))
-    max_reps_4n = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS_4N", "10"))
+    max_reps_4n = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS_4N", "12"))
     STABLE_TOL = 0.05
     # Stop sampling the 4N level only once the ratio *comfortably* clears
     # the criterion (or reps/budget run out). Measured contention profile

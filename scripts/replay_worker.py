@@ -136,7 +136,7 @@ def main():
         from pyspark.sql import functions as F
 
         bounds = events.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
-        warm_hi = bounds["lo"] + max(1, (bounds["hi"] - bounds["lo"]) // 50)
+        warm_hi = bounds["lo"] + max(1, (bounds["hi"] - bounds["lo"]) // 100)
         warm = consolidate(events, DEFAULT_SELECTORS, None, warm_hi)
         warm_src = build_merge_source_typed(
             parse_committed_typed(warm, PAGES_SCHEMA).filter(F.col("parse_error").isNull()),
