@@ -409,13 +409,16 @@ def _shingle_cte(k: int, where: str = "") -> str:
 
 
 _N_HASHES, _N_BANDS = 12, 4
+# One md5 per shingle, k orderings derived via Kirsch–Mitzenmacher double
+# hashing mod 2^31-1 (mirrors textops.dedup.minhash_signatures exactly;
+# DuckDB BIGINT arithmetic never overflows at these magnitudes)
 _MH_COLS = ", ".join(
-    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(_N_HASHES)
+    f"min((v1 + {i} * v2) % 2147483647) AS mh{i}" for i in range(_N_HASHES)
 )
 _BAND_SELECTS = "\n UNION ALL ".join(
     "SELECT doc_id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
         b=b,
-        expr=" || '|' || ".join(f"mh{b * 3 + r}" for r in range(3)),
+        expr=" || '|' || ".join(f"cast(mh{b * 3 + r} AS varchar)" for r in range(3)),
     )
     for b in range(_N_BANDS)
 )
@@ -424,7 +427,11 @@ _BAND_SELECTS = "\n UNION ALL ".join(
     "d15_minhash_lsh",
     f"""
     WITH {_shingle_cte(3, "WHERE doc_id < 2000")},
-    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    shd AS (SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 8))::bigint AS v1,
+                   ('0x' || substr(md5(shingle), 9, 8))::bigint AS v2
+            FROM sh),
+    sig AS (SELECT doc_id, {_MH_COLS} FROM shd GROUP BY doc_id),
     bucket AS ({_BAND_SELECTS}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bucket a JOIN bucket b
@@ -871,6 +878,33 @@ def mm_features(spark, sf_dir):
     # The harness canonicalizer sorts/hashes columns — an array<float>
     # column is unhashable pandas-side, so project it to a stable scalar
     # (the operator itself still returns the typed array).
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        "byte_entropy",
+        F.to_json("feature").alias("feature_json"),
+    )
+
+
+@_q("mm_png_decode")
+def mm_png_decode(spark, sf_dir):
+    """The REAL-codec rung of the multimodal slot (rows-only; no SQL
+    oracle can decode PNG): text -> valid PNG bytes (pure-python encoder)
+    -> full spec-compliant decode (CRC check, inflate, un-filter) ->
+    pixel-derived features, all through the same mapInPandas plumbing as
+    the fake-decoder baseline. Round-trip exactness is pinned in
+    tests/test_textops.py."""
+    from logminer_kafka_connect_spark.functions.media_codec import png_decoder
+    from logminer_kafka_connect_spark.operators.textops.multimodal import (
+        attach_png_media_columns,
+        extract_media_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_media_features(
+        attach_png_media_columns(docs), use_real_decoder=True, decoder=png_decoder
+    )
     return feats.select(
         "doc_id",
         "n_bytes",

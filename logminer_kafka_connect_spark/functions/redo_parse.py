@@ -452,13 +452,27 @@ def set_cols_expr(img: Column) -> Column:
 # picks up added/renamed columns automatically.
 
 
-def make_typed_parse_udf(fields, key_col: str = "url", db_timezone: str = "UTC"):
+def make_typed_parse_udf(
+    fields, key_col: str = "url", db_timezone: str = "UTC", lineage_acc=None
+):
     """Build the typed parse UDF for the given table schema fields.
 
     Returns ``(udf, output_type)`` where output is
     ``struct<key:string, img:struct<...table cols...>, set_cols:array<string>,
     parse_error:string>`` — img columns are binary for BinaryType fields,
     normalized strings otherwise.
+
+    ``lineage_acc`` (optional): a dict accumulator from
+    ``operators.apply.make_lineage_accumulator``. When set, the UDF takes a
+    third ``scn`` column and records per-partition (scn_min, scn_max,
+    n_rows) as a side effect of the parse pass itself — A7 lineage with
+    **zero extra jobs** (the r3 design ran a second narrow job over
+    ``committed`` that re-executed the consolidation joins, ~8s/batch at
+    bench scale). Entries are keyed ``(partition_id, task_attempt_id)`` so
+    retried/speculated/recomputed tasks never double-count: batches within
+    one attempt sum, and the reader keeps each partition's max-count
+    attempt (a partial failed attempt undercounts; every complete attempt
+    reports the identical full value).
     """
     from logminer_kafka_connect_spark.sources.events import OP_INSERT
 
@@ -518,9 +532,33 @@ def make_typed_parse_udf(fields, key_col: str = "url", db_timezone: str = "UTC")
         except Exception as e:
             return None, None, None, f"{type(e).__name__}: {e}"
 
-    @F.pandas_udf(out_type)
-    def typed_parse_udf(sql_redo: pd.Series, op_code: pd.Series) -> pd.DataFrame:
-        rows = [_one(s, int(o)) for s, o in zip(sql_redo, op_code)]
-        return pd.DataFrame(rows, columns=["key", "img", "set_cols", "parse_error"])
+    if lineage_acc is None:
+
+        @F.pandas_udf(out_type)
+        def typed_parse_udf(sql_redo: pd.Series, op_code: pd.Series) -> pd.DataFrame:
+            rows = [_one(s, int(o)) for s, o in zip(sql_redo, op_code)]
+            return pd.DataFrame(rows, columns=["key", "img", "set_cols", "parse_error"])
+
+    else:
+
+        @F.pandas_udf(out_type)
+        def typed_parse_udf(
+            sql_redo: pd.Series, op_code: pd.Series, scn: pd.Series
+        ) -> pd.DataFrame:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            if tc is not None and len(scn):
+                lineage_acc.add(
+                    {
+                        (tc.partitionId(), tc.taskAttemptId()): (
+                            int(scn.min()),
+                            int(scn.max()),
+                            int(len(scn)),
+                        )
+                    }
+                )
+            rows = [_one(s, int(o)) for s, o in zip(sql_redo, op_code)]
+            return pd.DataFrame(rows, columns=["key", "img", "set_cols", "parse_error"])
 
     return typed_parse_udf, out_type

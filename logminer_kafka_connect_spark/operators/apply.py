@@ -97,23 +97,77 @@ def build_merge_source(
     return net.select(*cols, op.alias(OP_COL), set_cols.alias(SET_COLS_COL))
 
 
+class _LineageAccParam:
+    """AccumulatorParam for per-partition lineage stats gathered inside the
+    parse UDF: ``{(partition_id, task_attempt_id): (scn_min, scn_max,
+    n_rows)}``. Same-attempt entries (the UDF adds once per Arrow batch)
+    merge by summing counts; different attempts stay separate and the
+    reader picks each partition's max-count attempt
+    (``lineage_rows_from_acc``) — idempotent under task retry, speculation,
+    and cache-eviction recompute."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, (mn, mx, n) in b.items():
+            if k in a:
+                omn, omx, on = a[k]
+                a[k] = (min(omn, mn), max(omx, mx), on + n)
+            else:
+                a[k] = (mn, mx, n)
+        return a
+
+
+def make_lineage_accumulator(spark):
+    from pyspark.accumulators import AccumulatorParam
+
+    # AccumulatorParam is an ABC; build a concrete subclass lazily so this
+    # module stays importable without a SparkContext
+    cls = type("_LineageAcc", (_LineageAccParam, AccumulatorParam), {})
+    return spark.sparkContext.accumulator({}, cls())
+
+
+def lineage_rows_from_acc(acc_value: dict) -> list[tuple[int, int, int, int]]:
+    """Collapse the accumulator to one row per partition: keep the
+    max-count attempt (complete attempts all report the identical full
+    value; a failed partial attempt undercounts)."""
+    best: dict[int, tuple[int, int, int]] = {}
+    for (pid, _attempt), (mn, mx, n) in acc_value.items():
+        cur = best.get(pid)
+        if cur is None or n > cur[2]:
+            best[pid] = (mn, mx, n)
+    return [
+        (pid, mn, mx, n) for pid, (mn, mx, n) in sorted(best.items()) if n
+    ]
+
+
 def parse_committed_typed(
     committed: DataFrame,
     schema: T.StructType,
     key_col: str = "url",
     db_timezone: str = "UTC",
     keep_sql: bool = False,
+    lineage_acc=None,
 ) -> DataFrame:
     """Typed fast path: parse + hex-decode binary columns + key extraction
     in one Arrow UDF built for the current schema (rebuilt per batch, so
     DDL evolution is picked up). ``keep_sql`` carries the original
     ``sql_redo`` through (for the quarantine / dead-letter path — the
     reference never drops a record it could not convert,
-    ``TransactionConsolidator.kt:79-89``)."""
+    ``TransactionConsolidator.kt:79-89``). ``lineage_acc`` rides A7
+    per-partition stats on the same pass (redo_parse.make_typed_parse_udf)."""
     from logminer_kafka_connect_spark.functions.redo_parse import make_typed_parse_udf
 
-    udf, _ = make_typed_parse_udf(schema.fields, key_col, db_timezone)
-    parsed = committed.withColumn("__t", udf(F.col("sql_redo"), F.col("op_code")))
+    udf, _ = make_typed_parse_udf(
+        schema.fields, key_col, db_timezone, lineage_acc=lineage_acc
+    )
+    if lineage_acc is None:
+        parsed = committed.withColumn("__t", udf(F.col("sql_redo"), F.col("op_code")))
+    else:
+        parsed = committed.withColumn(
+            "__t", udf(F.col("sql_redo"), F.col("op_code"), F.col("scn"))
+        )
     extra = ["sql_redo"] if keep_sql else []
     return parsed.select(
         "xid",

@@ -65,6 +65,12 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     )
 
 
+#: modulus for the derived minhash orderings (Mersenne prime 2^31-1 —
+#: products stay far below 2^63, so Spark long arithmetic and DuckDB BIGINT
+#: arithmetic agree exactly with no overflow on either engine)
+MINHASH_P = 2_147_483_647
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -72,14 +78,24 @@ def minhash_signatures(
     n_hashes: int = 12,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature: h_i(doc) = min over shingles of md5(i || '|' || s).
+    """MinHash signature: h_i(doc) = min over shingles of g_i(s), where
+    g_i(s) = (v1(s) + i * v2(s)) mod P and v1/v2 are two independent
+    32-bit lanes of ONE ``md5(s)`` digest.
 
-    Salted md5 gives k independent uniform orderings; the min over a set is
-    a valid permutation-minhash estimator. One explode + one grouped agg.
+    Kirsch–Mitzenmacher double hashing: k orderings derived from a single
+    digest per shingle — the r3 design salted md5 k times per shingle
+    occurrence, making the signature aggregation the most expensive
+    headline stage (12 full digests per shingle; r3 VERDICT Next #4). One
+    digest + 12 integer fused multiply-adds is ~6x cheaper and every step
+    (substr, hex->int, mod) is expressible identically in the DuckDB
+    oracle. One explode + one grouped agg, map-side partial min.
     """
     sh = doc_shingles(df, id_col, text_col, shingle_k)
+    d = F.md5(F.col("shingle"))
+    v1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    v2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        F.min((v1 + F.lit(i) * v2) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -95,7 +111,10 @@ def lsh_candidate_pairs(
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         bands.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey"))
         )

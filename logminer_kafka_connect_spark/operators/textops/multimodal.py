@@ -53,6 +53,42 @@ def attach_media_columns(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     return df.select(F.col(id_col), payload.alias("media"), meta.alias("media_meta"))
 
 
+def attach_png_media_columns(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Like attach_media_columns, but the payload is a VALID PNG — pixels
+    derived deterministically from the text bytes — so the real
+    ``png_decoder`` (functions/media_codec.py) exercises the decode slot
+    with honest, spec-compliant media bytes (r3 VERDICT Next #7). Arrow
+    pandas UDF, amortized per batch like a real encoder would be."""
+    import pandas as pd  # noqa: F811 (UDF-local, pickled to workers)
+
+    from logminer_kafka_connect_spark.functions.media_codec import encode_png
+
+    @F.pandas_udf(T.BinaryType())
+    def to_png(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "").encode("utf-8") or b"\x00"
+            arr = np.frombuffer(b, dtype=np.uint8)
+            w = max(4, min(64, int(len(arr) ** 0.5)))
+            h = max(1, -(-len(arr) // w))
+            px = np.zeros(w * h, dtype=np.uint8)
+            px[: len(arr)] = arr
+            out.append(encode_png(px.reshape(h, w)))
+        return pd.Series(out)
+
+    payload = to_png(F.col(text_col))
+    df = df.select(F.col(id_col), payload.alias("media"))
+    meta = F.struct(
+        F.lit("image/png").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),  # real dims live in the PNG
+        F.lit(None).cast("int").alias("height"),
+        F.length("media").cast("long").alias("n_bytes"),
+    )
+    return df.select(id_col, "media", meta.alias("media_meta"))
+
+
 def _fake_decode(payload: bytes) -> dict:
     arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
     hist = np.bincount(arr, minlength=256).astype(np.float64)

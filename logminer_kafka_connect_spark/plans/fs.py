@@ -72,6 +72,21 @@ class LocalFS:
             f.write(data)
         return True
 
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic rename; returns False iff ``src`` does not exist (the
+        lock-steal arbitration primitive: of n concurrent renamers of one
+        source path, exactly one succeeds)."""
+        try:
+            os.rename(src, dst)
+        except OSError:
+            return False
+        return True
+
+    def mtime(self, path: str) -> float:
+        """Last-modification time (epoch seconds) — the age gate for
+        remove_orphan_files."""
+        return os.path.getmtime(path)
+
 
 class HadoopFS:
     """Hadoop FileSystem backend (cluster deployments; also serves
@@ -131,14 +146,43 @@ class HadoopFS:
         """Create-if-absent via ``FileSystem.create(overwrite=False)`` —
         atomic on HDFS (namenode-serialized); on S3A it is best-effort
         (object stores lack atomic create-exclusive), which matches the
-        advisory nature of the writer lock."""
+        advisory nature of the writer lock.
+
+        Only the already-exists outcome maps to False; any other create
+        failure (permissions, transient namenode/network errors) propagates
+        — reporting it as "another writer holds the lock" would bury the
+        real IO error behind a misleading ConcurrentWriterError (r3
+        ADVICE)."""
         fs = self._fs(path)
         try:
             stream = fs.create(self._path(path), False)
-        except Exception:
-            return False
+        except Exception as e:  # py4j wraps the Java exception
+            java_cls = ""
+            cause = getattr(e, "java_exception", None)
+            if cause is not None:
+                try:
+                    java_cls = cause.getClass().getName()
+                except Exception:
+                    java_cls = ""
+            msg = f"{java_cls} {e}"
+            if "AlreadyExists" in msg or "already exists" in msg.lower():
+                return False
+            raise
         try:
             stream.write(data.encode("utf-8"))
         finally:
             stream.close()
         return True
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Rename; False iff the source vanished or the FS refused (HDFS
+        rename is namenode-atomic — the lock-steal arbitration primitive)."""
+        try:
+            return bool(self._fs(src).rename(self._path(src), self._path(dst)))
+        except Exception:
+            return False
+
+    def mtime(self, path: str) -> float:
+        """Last-modification time (epoch seconds) — the age gate for
+        remove_orphan_files."""
+        return self._fs(path).getFileStatus(self._path(path)).getModificationTime() / 1000.0

@@ -34,7 +34,12 @@ def load_snapshot(
     each its own idempotent commit — a rerun after a crash skips applied
     chunks and applies only the rest (mid-snapshot resume, T4). The final
     state is identical to the single-shot load (chunks partition the key
-    space, so the per-chunk upserts are disjoint).
+    space, so the per-chunk upserts are disjoint). Chunk batch-ids fold
+    into a per-snapshot chunk-index *watermark* in the manifest
+    (``applied_chunk_hi``, plans/lakehouse.py) — O(1) metadata for any
+    ``n_chunks``, so a 100-TB load in tens of thousands of chunks resumes
+    correctly (an exact-id list FIFO-trimmed to MAX_APPLIED_IDS would
+    evict chunk 0 and re-run its table-wiping overwrite; r3 ADVICE).
 
     Returns the handoff offset: the CDC phase replays commits with
     ``commit_scn > snapshot_scn`` (``SelectOffset.toOracleLogOffset``,

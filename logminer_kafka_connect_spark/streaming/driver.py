@@ -135,6 +135,20 @@ class ReplayDriver:
         """
         if self.salt_chunks != "auto":
             return self.salt_chunks
+        try:
+            return self._probe_salt_chunks(events, hi, change_lo, key_col)
+        except Exception as e:
+            # The probe assumes a parquet-backed plan whose files match the
+            # schema; if that assumption breaks (non-file source, schema
+            # drift) an optional skew heuristic must not abort the replay
+            # (r3 ADVICE) — fall back to unsalted and let AQE skew-join
+            # handle the merge side.
+            print(f"# salt probe failed ({type(e).__name__}: {e}); salting off", flush=True)
+            return None
+
+    def _probe_salt_chunks(
+        self, events: DataFrame, hi: int | None, change_lo: int | None, key_col: str
+    ) -> int | None:
         from logminer_kafka_connect_spark.operators.filters import filter_changes
 
         # For a file-backed log, sample a few whole files instead of
@@ -243,9 +257,13 @@ class ReplayDriver:
         n_quarantined = 0
         part_df = None
         schema = table.schema()
+        # keep_sql whenever the tracked abort path could quarantine from
+        # this plan (lazy — only ever evaluated on that rare path); the
+        # untracked path re-parses with keep_sql=True separately
         parsed = parse_committed_typed(
             committed, schema, key_col=key_col,
-            db_timezone=self.db_timezone, keep_sql=self.track_parse_errors,
+            db_timezone=self.db_timezone,
+            keep_sql=self.track_parse_errors or self.track_partition_lineage,
         )
         if self.track_parse_errors or self.track_partition_lineage:
             # Optimistic single-pass tracked mode. The r2 design persisted
@@ -253,9 +271,12 @@ class ReplayDriver:
             # to count errors before merging — measured ~2x the untracked
             # ceiling at 8 cores (147.9s vs 72.2s on the 2.9M-event input).
             # Production mode now pays almost nothing over the ceiling:
-            #  - A7 per-partition lineage: one narrow job over `committed`
-            #    with no parse and no sql_redo (Catalyst prunes the CSF
-            #    concat when only scn/partition_id are selected);
+            #  - A7 per-partition lineage: an accumulator updated inside
+            #    the merge job's own parse UDF (operators/apply.py
+            #    make_lineage_accumulator) — ZERO extra jobs. The r3 design
+            #    ran a second narrow job over `committed` that re-executed
+            #    the consolidation joins (~8s/batch at bench scale;
+            #    r3 VERDICT Next #3).
             #  - parse-error count: an Observation inside the merge job
             #    itself, checked AFTER the write job but BEFORE the atomic
             #    manifest swap (merge(pre_commit_check=...)) — on errors
@@ -263,29 +284,22 @@ class ReplayDriver:
             #    quarantine machinery below runs as the rare slow path.
             from pyspark.sql import Observation
 
+            from logminer_kafka_connect_spark.operators.apply import (
+                lineage_rows_from_acc,
+                make_lineage_accumulator,
+            )
+
             ok = F.col("parse_error").isNull()
-            if self.track_partition_lineage:
-                per_part = (
-                    committed.groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(
-                        F.min("scn").alias("scn_min"),
-                        F.max("scn").alias("scn_max"),
-                        F.count(F.lit(1)).alias("n_rows"),
-                    )
-                    .collect()
-                )
-                part_df = self.spark.createDataFrame(
-                    [
-                        (r["partition_id"], r["scn_min"], r["scn_max"], r["n_rows"], batch_id)
-                        for r in per_part
-                        if r["n_rows"]
-                    ],
-                    "partition_id int, scn_min bigint, scn_max bigint, n_rows bigint, batch_id string",
-                )
+            lineage_acc = (
+                make_lineage_accumulator(self.spark)
+                if self.track_partition_lineage
+                else None
+            )
             err_obs = Observation()
             narrow = parse_committed_typed(
                 committed, schema, key_col=key_col,
                 db_timezone=self.db_timezone, keep_sql=False,
+                lineage_acc=lineage_acc,
             ).observe(err_obs, F.count(F.col("parse_error")).alias("n_err"))
             source = build_merge_source_typed(
                 narrow.filter(ok), schema, key_col=key_col,
@@ -297,29 +311,40 @@ class ReplayDriver:
                 pre_commit_check=lambda: int(err_obs.get["n_err"]) == 0,
             )
             if stats.applied:
-                return stats.source_rows, 0, 0, part_df
-            # aborted: parse errors present -> the full r2 slow path
-            parsed = parsed.persist()
-            if self.track_parse_errors:
-                n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
-                if n_parse_errors and self._resolve_schema_misses(parsed, table):
-                    # lazy schema refresh succeeded — re-parse the batch
-                    # against the evolved schema (the reference's
-                    # refresh-and-retry, TransactionConsolidator.kt:79-89)
-                    parsed.unpersist()
-                    schema = table.schema()
-                    parsed = parse_committed_typed(
-                        committed, schema, key_col=key_col,
-                        db_timezone=self.db_timezone, keep_sql=True,
-                    ).persist()
-                    n_parse_errors = parsed.filter(
-                        F.col("parse_error").isNotNull()
-                    ).count()
-                if n_parse_errors:
-                    n_quarantined = self._quarantine(
-                        parsed.filter(F.col("parse_error").isNotNull()),
-                        quarantine_key or batch_id,
+                if lineage_acc is not None:
+                    part_df = self.spark.createDataFrame(
+                        [
+                            (pid, mn, mx, n, batch_id)
+                            for pid, mn, mx, n in lineage_rows_from_acc(lineage_acc.value)
+                        ],
+                        "partition_id int, scn_min bigint, scn_max bigint, n_rows bigint, batch_id string",
                     )
+                return stats.source_rows, 0, 0, part_df
+            # aborted: parse errors present -> the full r2 slow path. The
+            # error count and the dead-letter write run regardless of which
+            # tracking flag got us here — with lineage on but error stats
+            # off, the failing rows must still be quarantined, never
+            # silently dropped (T9; r3 ADVICE).
+            parsed = parsed.persist()
+            n_parse_errors = parsed.filter(F.col("parse_error").isNotNull()).count()
+            if n_parse_errors and self._resolve_schema_misses(parsed, table):
+                # lazy schema refresh succeeded — re-parse the batch
+                # against the evolved schema (the reference's
+                # refresh-and-retry, TransactionConsolidator.kt:79-89)
+                parsed.unpersist()
+                schema = table.schema()
+                parsed = parse_committed_typed(
+                    committed, schema, key_col=key_col,
+                    db_timezone=self.db_timezone, keep_sql=True,
+                ).persist()
+                n_parse_errors = parsed.filter(
+                    F.col("parse_error").isNotNull()
+                ).count()
+            if n_parse_errors:
+                n_quarantined = self._quarantine(
+                    parsed.filter(F.col("parse_error").isNotNull()),
+                    quarantine_key or batch_id,
+                )
             good = parsed.filter(F.col("parse_error").isNull())
             if self.track_partition_lineage:
                 part_df = partition_lineage(good, batch_id)

@@ -154,7 +154,11 @@ def main():
         if timing:
             print(f"## worker: warmup {time.time() - t_w:.2f}s", flush=True)
 
-        cpustat = os.environ.get("LMKC_CPUSTAT") == "1"
+        # tree CPU ships by default: bench.py uses it to detect co-tenant
+        # contamination (a contended window inflates CPU ~30-50% for the
+        # same work — host-noise profile, BASELINE.md). LMKC_CPUSTAT=0
+        # disables the /proc walk.
+        cpustat = os.environ.get("LMKC_CPUSTAT", "1") != "0"
         cpu0 = _tree_cpu_s() if cpustat else 0.0
         t0 = time.time()
         stats = engine.replay(events, n_batches=1)

@@ -160,3 +160,125 @@ def test_lsh_near_dups_recall_vs_exact(spark):
     n_hit = exact.join(approx, ["id_a", "id_b"], "left_semi").count()
     assert n_exact > 0
     assert n_hit / n_exact >= 0.5, f"recall {n_hit}/{n_exact}"
+
+
+# ------------------------------------------------ real PNG/JPEG codec
+
+
+def test_png_roundtrip_exact():
+    """encode_png -> decode_png recovers pixels exactly (CRCs verified)."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(23, 41), dtype=np.uint8)
+    data = encode_png(px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = decode_png(data)
+    assert back.shape == (23, 41)
+    assert (back == px).all()
+
+
+def test_png_decode_all_filter_types():
+    """The decoder reverses Sub/Up/Average/Paeth scanline filters, not
+    just the filter-0 stream our encoder emits (spec coverage)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import _paeth, decode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 16), dtype=np.uint8).astype(np.int32)
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = px[r]
+        if ftype == 0:
+            filt = cur.copy()
+        elif ftype == 1:
+            filt = cur.copy()
+            filt[1:] = (cur[1:] - cur[:-1]) % 256
+        elif ftype == 2:
+            filt = (cur - prev) % 256
+        elif ftype == 3:
+            filt = cur.copy()
+            filt[0] = (cur[0] - prev[0] // 2) % 256
+            for x in range(1, w):
+                filt[x] = (cur[x] - (cur[x - 1] + prev[x]) // 2) % 256
+        else:
+            filt = cur.copy()
+            filt[0] = (cur[0] - prev[0]) % 256
+            for x in range(1, w):
+                filt[x] = (cur[x] - _paeth(int(cur[x - 1]), int(prev[x]), int(prev[x - 1]))) % 256
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        prev = cur
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(data) == px.astype(np.uint8)).all()
+
+
+def test_png_decode_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from logminer_kafka_connect_spark.functions.media_codec import decode_png, encode_png
+
+    data = bytearray(encode_png(np.zeros((4, 4), dtype=np.uint8)))
+    data[40] ^= 0xFF  # flip a byte inside a chunk body
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+
+
+def test_jpeg_dimensions_from_sof():
+    import struct
+
+    from logminer_kafka_connect_spark.functions.media_codec import jpeg_dimensions
+
+    sof = struct.pack(">BHH", 8, 480, 640) + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    jpg = (
+        b"\xff\xd8"                                    # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof              # SOF0
+        + b"\xff\xd9"                                  # EOI
+    )
+    assert jpeg_dimensions(jpg) == (480, 640)
+
+
+def test_png_decoder_end_to_end_through_media_slot(spark, docs):
+    """The real decoder runs through the SAME mapInPandas plumbing as the
+    fake, on honest generated PNGs; features derive from decoded pixels."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import decode_png, png_decoder
+    from logminer_kafka_connect_spark.operators.textops.multimodal import (
+        attach_png_media_columns,
+        extract_media_features,
+    )
+
+    media = attach_png_media_columns(docs.limit(20))
+    rows = {r["doc_id"]: r for r in media.collect()}
+    feats = extract_media_features(media, use_real_decoder=True, decoder=png_decoder)
+    out = {r["doc_id"]: r for r in feats.collect()}
+    assert set(out) == set(rows)
+    # independent recompute for one doc: decoded pixel mean matches
+    some_id = sorted(rows)[0]
+    px = decode_png(bytes(rows[some_id]["media"]))
+    assert abs(out[some_id]["byte_mean"] - float(px.mean())) < 1e-9
+    assert len(out[some_id]["feature"]) == 16
