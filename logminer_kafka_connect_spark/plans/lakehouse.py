@@ -771,7 +771,8 @@ class SnapshotTable:
         Dirs referenced by no manifest at all (crashed writes) are left to
         ``remove_orphan_files`` and its age gate."""
         cur = self.current_version()
-        keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+        cutoff = max(0, cur - keep_last + 1)
+        keep = set(range(cutoff, cur + 1))
         live_paths: set[str] = set()
         for v in keep:
             try:
@@ -783,7 +784,10 @@ class SnapshotTable:
         expired_paths: set[str] = set()
         for name in self.fs.listdir(self._meta_dir):
             mm = _VERSION_RE.match(name)
-            if mm and int(mm.group(1)) not in keep:
+            # strictly BELOW the cutoff — a version committed concurrently
+            # after current_version() was read (v > cur) is retained, never
+            # expired, or its fresh manifest + data dirs would be deleted
+            if mm and int(mm.group(1)) < cutoff:
                 expired_versions.append(int(mm.group(1)))
                 try:
                     m = self.metadata(int(mm.group(1)))

@@ -207,6 +207,40 @@ def test_expiry_concurrent_with_live_merge(spark, tmpdir_path):
     assert t.read(spark, version=4).count() == 10
 
 
+def test_expiry_never_touches_versions_above_its_pointer_read(spark, tmpdir_path):
+    """A commit can land between expiry's current_version() read and its
+    manifest listing; such a version (v > cur-as-read) must be RETAINED —
+    classifying it 'not in keep' would delete the freshest manifest and
+    its new data dirs. Simulated with a stale pointer read."""
+    from logminer_kafka_connect_spark.plans.lakehouse import OP_COL, SET_COLS_COL
+
+    t = _mk_table(spark, os.path.join(tmpdir_path, "t"))
+
+    def _merge_src(i):
+        return (
+            _src(spark, 10)
+            .withColumn("text", F.concat(F.lit(f"v{i} "), F.col("text")))
+            .withColumn(OP_COL, F.lit("u"))
+            .withColumn(SET_COLS_COL, F.lit(None).cast("array<string>"))
+        )
+
+    for i in range(5):
+        t.merge(spark, _merge_src(i), batch_id=f"b{i}")
+    latest = t.current_version()
+    assert latest == 5
+    orig_cv = t.current_version
+    t.current_version = lambda: latest - 1  # v5 committed after our read
+    try:
+        stats = t.expire_snapshots(keep_last=1)
+    finally:
+        t.current_version = orig_cv
+    # keep_last=1 off a stale read of v4: expired = versions < 4 only
+    assert stats["expired_manifests"] == 4
+    assert os.path.exists(t._meta_path(latest))
+    state = {r["url"]: r["text"] for r in t.read(spark).collect()}
+    assert len(state) == 10 and all(v.startswith("v4 ") for v in state.values())
+
+
 def test_remove_orphan_files_age_gate(spark, tmpdir_path):
     t = _mk_table(spark, os.path.join(tmpdir_path, "t"))
     from logminer_kafka_connect_spark.plans.lakehouse import OP_COL, SET_COLS_COL
