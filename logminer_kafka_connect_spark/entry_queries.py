@@ -912,3 +912,55 @@ def mm_png_decode(spark, sf_dir):
         "byte_entropy",
         F.to_json("feature").alias("feature_json"),
     )
+
+
+# --------------------------------------------------------------------------
+# 26. Stateful streaming compaction (applyInPandasWithState) — beyond-
+#     reference (SURVEY.md §2 T10 n/a): per-key latest-wins CDC compactor
+#     whose state store carries each key's high-water mark across triggers.
+#     The emission LOG depends on trigger slicing (inherently streaming),
+#     but the final per-key image is slicing-invariant — that projection is
+#     what the DuckDB oracle checks; slicing invariance itself is pinned by
+#     tests/test_stateful_streaming.py.
+# --------------------------------------------------------------------------
+@_q(
+    "st_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st_latest_per_key(spark, sf_dir):
+    """Streaming stateful compaction over the events table: 8-file parquet
+    stream, one file per trigger, per-user latest-wins with cross-trigger
+    state (streaming/stateful.py); returns the final compacted image."""
+    import tempfile
+    import uuid
+
+    from logminer_kafka_connect_spark.streaming.stateful import (
+        run_compaction_to_memory,
+    )
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    src = tempfile.mkdtemp(prefix="lmkc-stateful-src-")
+    ev.repartition(8, F.col("event_id")).write.mode("overwrite").parquet(src)
+    emissions = run_compaction_to_memory(
+        spark,
+        src,
+        ev.schema,
+        key_cols=["user_id"],
+        order_col="event_id",
+        payload_cols=["user_id", "event_id", "event_type", "value"],
+        max_files_per_trigger=1,
+        query_name=f"lmkc_compact_{uuid.uuid4().hex[:8]}",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
