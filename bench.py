@@ -314,8 +314,15 @@ def run_scaling(results: dict) -> dict:
         return ok_counts and eff_of(lad) >= target
 
     def stable_n(lad) -> bool:
-        xs = sorted(s["eps"] for s in runs[lad][lad[0]])
-        return len(xs) >= 2 and (xs[-1] - xs[-2]) / xs[-1] <= 0.03
+        # the N level is pinned only when enough GATE-VALID draws agree:
+        # two agreeing contaminated draws must not stop N sampling (the
+        # count requirement in converged() could then never be met)
+        need_n = 2 if lad[0] == 1 else min_valid
+        v = n_for_ratio(lad)
+        if len(v) < need_n:
+            return False
+        xs = sorted(s["eps"] for s in v)
+        return (xs[-1] - xs[-2]) / xs[-1] <= 0.03
 
     def timed(n_cpus, cores):
         t0 = time.time()
@@ -333,31 +340,72 @@ def run_scaling(results: dict) -> dict:
             bc = next(iter(wall_est.keys()), 2)
             return max(240.0, base * bc / c)
 
-        cost = est(lad[1])  # pair 4N
+        # a round's draws run concurrently on disjoint core blocks, so
+        # its wall is the slowest draw, not the sum
+        costs = [est(lad[1])]
         if not stable_n(lad):
-            cost += est(lad[0])
-        if len(runs[lad][lad[1]]) < 4:
-            cost += est(lad[1])  # extra 4N draw
-        return cost
+            costs.append(est(lad[0]))
+        return max(costs) + 60.0  # scheduling slack
 
     def do_round(lad):
         n, n4 = lad
         rot = rotation[lad]
         rotation[lad] += 1
         n_blocks = max(1, CPUS // n4)
-        s = (rot % n_blocks) * n4
-        # pair: N then 4N back-to-back on the same rotated core block; the
-        # N half is skipped once that level's top-2 draws agree within 3%
+
+        # All of a round's draws run CONCURRENTLY, each pinned to its own
+        # disjoint rotated core block (<=10 of 32 cores busy at once).
+        # Same-minute sampling pairs the levels in TIME — host-wide noise
+        # hits both halves of a pair and cancels in its ratio — while
+        # block disjointness keeps the draws independent. Cross-draw
+        # interference (shared memory bandwidth) is busy-stall time, so it
+        # lands in the same tree-CPU gate that rejects co-tenant noise;
+        # and a slowed draw can only LOWER the recorded efficiency (each
+        # level is best-of, and the N level is the denominator). Running
+        # max(walls) instead of sum(walls) per round is what lets the
+        # sampler reach its minimum valid counts inside the budget on a
+        # host where one quiet 1-core draw costs ~8 min.
+        seq = n_blocks < 2  # degenerate: no disjoint blocks, run serially
+        jobs: list[tuple[str, int, str]] = []
+        used: set[int] = set()
+
+        def add(kind, c, i):
+            b = (rot + i) % n_blocks
+            if not seq:
+                if b in used:
+                    return
+                used.add(b)
+            s = b * n4
+            jobs.append((kind, c, f"{s}-{s + c - 1}"))
+
+        add("4n", n4, 1)
+        if len(runs[lad][n4]) < 4:
+            # extra 4N draw while that level is thin — it spreads most
+            add("4n", n4, 3)
         if not stable_n(lad):
-            rn = timed(n, f"{s}-{s + n - 1}")
-            runs[lad][n].append(rn)
-        else:
-            rn = max(runs[lad][n], key=lambda x: x["eps"])
-        r4 = timed(n4, f"{s}-{s + n4 - 1}")
-        runs[lad][n4].append(r4)
+            # two N draws per round on different blocks: need_n quiet
+            # draws arrive in one round even if one block is noisy
+            add("n", n, 0)
+            add("n", n, 2)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1 if seq else len(jobs)) as ex:
+            futs = [(kind, ex.submit(timed, c, cores)) for kind, c, cores in jobs]
+            res = [(kind, f.result()) for kind, f in futs]
+        ns = [r for kind, r in res if kind == "n"]
+        f4s = [r for kind, r in res if kind == "4n"]
+        runs[lad][n].extend(ns)
+        runs[lad][n4].extend(f4s)
+        # pair = the round's best draw per level (same-minute pairing)
+        rn = (
+            max(ns, key=lambda x: x["eps"])
+            if ns
+            else max(runs[lad][n], key=lambda x: x["eps"])
+        )
+        r4 = max(f4s, key=lambda x: x["eps"])
         pairs[lad].append(
             {
-                "block": f"{s}-{s + n4 - 1}",
+                "block": f"round-{rot}",
                 "eps_n": rn["eps"],
                 "eps_4n": r4["eps"],
                 "ratio": round((r4["eps"] / rn["eps"]) / (n4 // n), 3),
@@ -365,11 +413,6 @@ def run_scaling(results: dict) -> dict:
                 "_4n": r4,
             }
         )
-        # extra 4N draws on the next rotated block while that level is
-        # thin — it needs 4x the free cores, spreads most, costs least
-        if len(runs[lad][n4]) < 4:
-            s2 = ((rot + 1) % n_blocks) * n4
-            runs[lad][n4].append(timed(n4, f"{s2}-{s2 + n4 - 1}"))
 
     t_start = time.time()
     for rnd in range(max_rounds):
