@@ -26,11 +26,15 @@ Two parts:
 Estimator (round 4 — the r1-r3 artifacts under-recorded a ratio the
 engine demonstrably meets, each time from too few / contaminated samples):
 
-- **Paired sampling**: each round runs N and 4N back-to-back on the SAME
-  rotated host-core block (contention sits on blocks of host cores for
-  minutes at a time — host-noise profile in BASELINE.md — so one-sided
-  noise largely cancels within a pair). Per-pair ratios ship alongside
-  the per-level best-of.
+- **Paired sampling**: each round draws both levels in the same few
+  minutes on rotated host-core blocks (contention sits on blocks of host
+  cores for minutes at a time — host-noise profile in BASELINE.md — so
+  one-sided noise largely cancels within a round's pair). The two N
+  draws run concurrently on distant blocks (measured clean: the host's
+  quietest 1-core draws were recorded while co-running); 4N draws run
+  exclusively, one at a time (two concurrent 4-core replays measurably
+  poison each other ~65% via the shared L3). Per-pair ratios ship
+  alongside the per-level best-of.
 - **Contamination rejection**: every worker reports its process-tree CPU
   seconds (/proc walk). Identical work costs ~constant CPU on a quiet
   host; a co-tenant-contended window inflates it 30-50%. A sample whose
@@ -41,7 +45,7 @@ engine demonstrably meets, each time from too few / contaminated samples):
   fixed budget then afforded only 2 N-samples. Default back to the 720k-
   txn input (2.88M change events — large enough that the ratio survives
   contended windows, small enough that the default budget buys ~5-6
-  paired rounds) and a 3000s default budget.
+  paired rounds) and a 2700s default scaling budget.
 """
 
 from __future__ import annotations
@@ -284,22 +288,41 @@ def run_scaling(results: dict) -> dict:
         4N draw's CPU is provably contended. Without this, one contended
         N draw under quiet 4N draws records an efficiency > 1."""
         vn = _valid(runs[lad][lad[0]])
-        cpus4 = [s["cpu"] for s in _valid(runs[lad][lad[1]]) if s.get("cpu")]
+        cpus4 = [s["cpu"] for s in valid_hi(lad) if s.get("cpu")]
         if not cpus4:
             return vn
         lim = min(cpus4) * 1.05
         return [s for s in vn if s.get("cpu") and s["cpu"] <= lim]
 
+    def valid_hi(lad) -> list[dict]:
+        """4N-level samples trustworthy as the ratio's numerator. The
+        per-level gate is floor-relative, so it is blind to UNIFORM
+        inflation — a round whose every 4N draw landed in the same
+        contended window passes its own floor and silently records a bad
+        ratio (observed: four dual-concurrent 4-core draws at 734-838
+        cpu-s, all 'valid' against each other, while the same work costs
+        ~490 quiet). The N level anchors an absolute check: total CPU for
+        fixed work is parallelism-invariant up to a measured ~15-25%
+        overhead (430-467 cpu-s at 1 core vs 488-534 at 4), so a 4N draw
+        burning >1.4x the quietest valid N draw's CPU is contended no
+        matter what its level-mates look like."""
+        v4 = _valid(runs[lad][lad[1]])
+        cpus_n = [s["cpu"] for s in _valid(runs[lad][lad[0]]) if s.get("cpu")]
+        if not cpus_n:
+            return v4
+        lim = min(cpus_n) * 1.4
+        return [s for s in v4 if s.get("cpu") and s["cpu"] <= lim]
+
     def eff_of(lad) -> float:
         a = n_for_ratio(lad)
-        b = _valid(runs[lad][lad[1]])
+        b = valid_hi(lad)
         if not a or not b:
             return 0.0
         return (max(s["eps"] for s in b) / max(s["eps"] for s in a)) / (lad[1] / lad[0])
 
     def valid_pairs_of(lad) -> list[dict]:
         va = {id(s) for s in _valid(runs[lad][lad[0]])}
-        vb = {id(s) for s in _valid(runs[lad][lad[1]])}
+        vb = {id(s) for s in valid_hi(lad)}
         return [
             p for p in pairs[lad] if id(p["_n"]) in va and id(p["_4n"]) in vb
         ]
@@ -309,7 +332,7 @@ def run_scaling(results: dict) -> dict:
         # 1-cpu level is contention-immune, two agreeing draws pin it
         need_n = 2 if lad[0] == 1 else min_valid
         nv = len(_valid(runs[lad][lad[0]]))
-        nv4 = len(_valid(runs[lad][lad[1]]))
+        nv4 = len(valid_hi(lad))
         ok_counts = (nv >= need_n and nv4 >= min_valid) or len(valid_pairs_of(lad)) >= min_valid
         return ok_counts and eff_of(lad) >= target
 
@@ -340,12 +363,15 @@ def run_scaling(results: dict) -> dict:
             bc = next(iter(wall_est.keys()), 2)
             return max(240.0, base * bc / c)
 
-        # a round's draws run concurrently on disjoint core blocks, so
-        # its wall is the slowest draw, not the sum
-        costs = [est(lad[1])]
+        # N draws run concurrently (their wall is one draw); 4N draws run
+        # exclusively after them, one at a time (see do_round)
+        cost = 0.0
         if not stable_n(lad):
-            costs.append(est(lad[0]))
-        return max(costs) + 60.0  # scheduling slack
+            cost += est(lad[0])
+        cost += est(lad[1])
+        if len(runs[lad][lad[1]]) < 4:
+            cost += est(lad[1])
+        return cost + 30.0  # scheduling slack
 
     def do_round(lad):
         n, n4 = lad
@@ -353,47 +379,42 @@ def run_scaling(results: dict) -> dict:
         rotation[lad] += 1
         n_blocks = max(1, CPUS // n4)
 
-        # All of a round's draws run CONCURRENTLY, each pinned to its own
-        # disjoint rotated core block (<=10 of 32 cores busy at once).
-        # Same-minute sampling pairs the levels in TIME — host-wide noise
-        # hits both halves of a pair and cancels in its ratio — while
-        # block disjointness keeps the draws independent. Cross-draw
-        # interference (shared memory bandwidth) is busy-stall time, so it
-        # lands in the same tree-CPU gate that rejects co-tenant noise;
-        # and a slowed draw can only LOWER the recorded efficiency (each
-        # level is best-of, and the N level is the denominator). Running
-        # max(walls) instead of sum(walls) per round is what lets the
-        # sampler reach its minimum valid counts inside the budget on a
-        # host where one quiet 1-core draw costs ~8 min.
-        seq = n_blocks < 2  # degenerate: no disjoint blocks, run serially
-        jobs: list[tuple[str, int, str]] = []
-        used: set[int] = set()
-
-        def add(kind, c, i):
-            b = (rot + i) % n_blocks
-            if not seq:
-                if b in used:
-                    return
-                used.add(b)
-            s = b * n4
-            jobs.append((kind, c, f"{s}-{s + c - 1}"))
-
-        add("4n", n4, 1)
-        if len(runs[lad][n4]) < 4:
-            # extra 4N draw while that level is thin — it spreads most
-            add("4n", n4, 3)
+        # Concurrency policy, from measurement on THIS host (BASELINE.md
+        # round-4 interference A/B):
+        #   - Two concurrent 1-core draws on distant blocks are clean —
+        #     430/434 cpu-s, the quietest 1-core draws ever recorded here,
+        #     measured WHILE 4-core draws co-ran. They run concurrently:
+        #     need_n quiet draws arrive in one round for one draw's wall
+        #     (~8 min at the real input size).
+        #   - Two concurrent 4-core draws poison each other: 734-838
+        #     cpu-s vs ~490 solo across four draws in two rounds (the
+        #     shared-L3 working set of two shuffle-heavy replays), and the
+        #     inflation is UNIFORM, which the floor-relative per-level
+        #     gate cannot see (valid_hi's absolute N-anchored gate now
+        #     catches it). 4N draws therefore run EXCLUSIVELY — after the
+        #     N lane completes, one at a time, the configuration every
+        #     quiet 4N observation on this host was measured in.
+        seq = n_blocks < 2  # degenerate: no disjoint blocks anyway
+        n_jobs: list[str] = []
         if not stable_n(lad):
-            # two N draws per round on different blocks: need_n quiet
-            # draws arrive in one round even if one block is noisy
-            add("n", n, 0)
-            add("n", n, 2)
+            b0, b2 = rot % n_blocks, (rot + 2) % n_blocks
+            n_jobs.append(f"{b0 * n4}-{b0 * n4 + n - 1}")
+            if b2 != b0 and not seq:
+                n_jobs.append(f"{b2 * n4}-{b2 * n4 + n - 1}")
+        f4_jobs: list[str] = []
+        b1 = (rot + 1) % n_blocks
+        f4_jobs.append(f"{b1 * n4}-{b1 * n4 + n4 - 1}")
+        if len(runs[lad][n4]) < 4:
+            # extra 4N draw on another block while that level is thin
+            b3 = (rot + 3) % n_blocks
+            if b3 != b1 or seq:
+                f4_jobs.append(f"{b3 * n4}-{b3 * n4 + n4 - 1}")
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1 if seq else len(jobs)) as ex:
-            futs = [(kind, ex.submit(timed, c, cores)) for kind, c, cores in jobs]
-            res = [(kind, f.result()) for kind, f in futs]
-        ns = [r for kind, r in res if kind == "n"]
-        f4s = [r for kind, r in res if kind == "4n"]
+        with ThreadPoolExecutor(max_workers=max(1, len(n_jobs))) as ex:
+            futs = [ex.submit(timed, n, cores) for cores in n_jobs]
+            ns = [f.result() for f in futs]
+        f4s = [timed(n4, cores) for cores in f4_jobs]
         runs[lad][n].extend(ns)
         runs[lad][n4].extend(f4s)
         # pair = the round's best draw per level (same-minute pairing)
@@ -444,7 +465,7 @@ def run_scaling(results: dict) -> dict:
         msg = ", ".join(
             f"{l_[0]}->{l_[1]}: eff(valid)={eff_of(l_):.3f} "
             f"({len(_valid(runs[l_][l_[0]]))}v/{len(runs[l_][l_[0]])} N, "
-            f"{len(_valid(runs[l_][l_[1]]))}v/{len(runs[l_][l_[1]])} 4N, "
+            f"{len(valid_hi(l_))}v/{len(runs[l_][l_[1]])} 4N, "
             f"{len(valid_pairs_of(l_))} vpairs)"
             for l_ in ladders
             if runs[l_][l_[0]]
@@ -462,7 +483,7 @@ def run_scaling(results: dict) -> dict:
         if not runs[lad][lad[0]] or not runs[lad][lad[1]]:
             continue
         vn = _valid(runs[lad][lad[0]]) or runs[lad][lad[0]]
-        v4 = _valid(runs[lad][lad[1]]) or runs[lad][lad[1]]
+        v4 = valid_hi(lad) or runs[lad][lad[1]]
         eff = eff_of(lad)
         vp = valid_pairs_of(lad)
         pr = sorted(p["ratio"] for p in (vp or pairs[lad]))
@@ -480,7 +501,7 @@ def run_scaling(results: dict) -> dict:
             "n_valid_pairs": len(vp),
             "valid_samples": {
                 str(lad[0]): len(_valid(runs[lad][lad[0]])),
-                str(lad[1]): len(_valid(runs[lad][lad[1]])),
+                str(lad[1]): len(valid_hi(lad)),
             },
             "all_runs": {
                 str(k): [
@@ -495,7 +516,7 @@ def run_scaling(results: dict) -> dict:
 
     lvl_n, lvl_4n = best_lad
     eps_n = max(s["eps"] for s in (_valid(runs[best_lad][lvl_n]) or runs[best_lad][lvl_n]))
-    eps_4n = max(s["eps"] for s in (_valid(runs[best_lad][lvl_4n]) or runs[best_lad][lvl_4n]))
+    eps_4n = max(s["eps"] for s in (valid_hi(best_lad) or runs[best_lad][lvl_4n]))
 
     eps_full = _replay_once(CPUS, events_path, snap_path, n_events)["eps"]
     # one run with lineage/watermark/parse-error bookkeeping ON — the
