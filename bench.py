@@ -303,19 +303,27 @@ def run_scaling(results: dict) -> dict:
         cpu-s, all 'valid' against each other, while the same work costs
         ~490 quiet). The N level anchors an absolute check: total CPU for
         fixed work is parallelism-invariant up to a measured ~15-25%
-        overhead (430-467 cpu-s at 1 core vs 488-534 at 4), so a 4N draw
-        burning >1.4x the quietest valid N draw's CPU is contended no
-        matter what its level-mates look like."""
+        overhead, so a 4N draw burning far more CPU than the quietest
+        valid N draw is contended no matter what its level-mates look
+        like. Tolerance 1.6: hypervisor steal/idle accounting makes the
+        1-core CPU floor itself window-dependent (observed quiet-4N/N
+        cpu ratios 1.13-1.52 across windows — a 321 cpu-s 1-core window
+        next to an unchanged 489 cpu-s quiet 4-core draw), while the
+        dual-4N poisoning this gate exists to catch sits at >=1.69."""
         v4 = _valid(runs[lad][lad[1]])
         cpus_n = [s["cpu"] for s in _valid(runs[lad][lad[0]]) if s.get("cpu")]
         if not cpus_n:
             return v4
-        lim = min(cpus_n) * 1.4
+        lim = min(cpus_n) * 1.6
         return [s for s in v4 if s.get("cpu") and s["cpu"] <= lim]
 
     def eff_of(lad) -> float:
         a = n_for_ratio(lad)
-        b = valid_hi(lad)
+        # fall back to the floor-relative gate if the absolute gate
+        # rejects everything (it is a contamination detector, not the
+        # estimator itself — an all-rejected level should record its
+        # floor-relative best, never 0)
+        b = valid_hi(lad) or _valid(runs[lad][lad[1]])
         if not a or not b:
             return 0.0
         return (max(s["eps"] for s in b) / max(s["eps"] for s in a)) / (lad[1] / lad[0])
@@ -483,7 +491,7 @@ def run_scaling(results: dict) -> dict:
         if not runs[lad][lad[0]] or not runs[lad][lad[1]]:
             continue
         vn = _valid(runs[lad][lad[0]]) or runs[lad][lad[0]]
-        v4 = valid_hi(lad) or runs[lad][lad[1]]
+        v4 = valid_hi(lad) or _valid(runs[lad][lad[1]]) or runs[lad][lad[1]]
         eff = eff_of(lad)
         vp = valid_pairs_of(lad)
         pr = sorted(p["ratio"] for p in (vp or pairs[lad]))
@@ -516,7 +524,14 @@ def run_scaling(results: dict) -> dict:
 
     lvl_n, lvl_4n = best_lad
     eps_n = max(s["eps"] for s in (_valid(runs[best_lad][lvl_n]) or runs[best_lad][lvl_n]))
-    eps_4n = max(s["eps"] for s in (valid_hi(best_lad) or runs[best_lad][lvl_4n]))
+    eps_4n = max(
+        s["eps"]
+        for s in (
+            valid_hi(best_lad)
+            or _valid(runs[best_lad][lvl_4n])
+            or runs[best_lad][lvl_4n]
+        )
+    )
 
     eps_full = _replay_once(CPUS, events_path, snap_path, n_events)["eps"]
     # one run with lineage/watermark/parse-error bookkeeping ON — the
