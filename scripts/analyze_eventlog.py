@@ -24,16 +24,38 @@ from collections import defaultdict
 
 
 def load(path: str) -> list[dict]:
+    import os
+
+    # Spark 4 rolling logs: eventlog_v2_<app>/events_<n>_<app>[.inprogress]
+    if os.path.isdir(path):
+        entries = sorted(
+            (f for f in os.listdir(path) if f.startswith("events_")),
+            key=lambda f: int(f.split("_")[1]),
+        )
+        files = [os.path.join(path, f) for f in entries]
+    else:
+        files = [path]
     events = []
-    with open(path, "r", errors="replace") as f:
-        for line in f:
+    for fp in files:
+        if fp.endswith(".zstd"):  # spark.eventLog.compress=true logs
+            import subprocess
+
+            text = subprocess.run(
+                ["zstd", "-dc", fp], capture_output=True, text=True, check=True
+            ).stdout.splitlines()
+        else:
+            with open(fp, "r", errors="replace") as f:
+                text = f.read().splitlines()
+        for line in text:
             line = line.strip()
             if not line:
                 continue
             try:
-                events.append(json.loads(line))
+                e = json.loads(line)
             except json.JSONDecodeError:
-                pass
+                continue
+            if isinstance(e, dict):
+                events.append(e)
     return events
 
 

@@ -81,6 +81,7 @@ def main():
         os.makedirs(os.environ["LMKC_EVENTLOG"], exist_ok=True)
         extra["spark.eventLog.enabled"] = "true"
         extra["spark.eventLog.dir"] = os.environ["LMKC_EVENTLOG"]
+        extra["spark.eventLog.compress"] = "false"  # scripts/analyze_eventlog.py
     if os.environ.get("LMKC_GCLOG") or os.environ.get("LMKC_GCOPTS"):  # A/B knobs
         opts = os.environ.get("LMKC_GCOPTS", "-XX:+UseParallelGC")
         if os.environ.get("LMKC_GCLOG"):
