@@ -555,7 +555,11 @@ def run_scaling(results: dict) -> dict:
         f"events_per_sec_local{CPUS}": round(eps_full, 1),
         f"events_per_sec_4N{n4p}_tracked": round(eps_tracked, 1),
         "ladders": ladder_stats,
-        "scaling_efficiency": round(best_eff, 3),
+        # >1.0 on a fixed workload is measurement noise in the engine's
+        # favor (the N anchor drew a slightly-contended window); clamp the
+        # headline — we claim linear at best — and keep the raw ratio.
+        "scaling_efficiency": min(round(best_eff, 3), 1.0),
+        "scaling_efficiency_raw": round(best_eff, 3),
         "scaling_efficiency_pair_max": ladder_stats[f"{lvl_n}->{lvl_4n}"][
             "scaling_efficiency_pair_max"
         ],
