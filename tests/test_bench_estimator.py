@@ -1,0 +1,142 @@
+"""Unit tests for the bench scaling estimator's gating/pairing/clamp logic.
+
+The recorded scaling artifact failed rounds 1-3 on sampling, not on the
+engine; the estimator (bench.py run_scaling) is now the load-bearing
+instrument, so its decision logic is pinned here with a scripted fake
+``_replay_once`` — no subprocesses, no Spark, milliseconds per test.
+
+Scenarios mirror the measured host-noise profile (BASELINE.md):
+floor-relative CPU gate per level, the N-anchored absolute gate that
+catches uniformly-poisoned 4N rounds, fallback when a whole level is
+rejected (record floor-relative best, never 0), and the >=1.0 clamp on
+the headline ratio (superlinear = contended N anchor, not a claim).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+@pytest.fixture()
+def scaling_env(monkeypatch, tmp_path):
+    """Isolate run_scaling: fake data cache (generation skipped), fast
+    budget knobs, and a place for tests to install a fake _replay_once."""
+    monkeypatch.setattr(bench.tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench, "BENCH_TXNS", 31337)
+    cache = tmp_path / "lmkc-benchdata-31337"
+    cache.mkdir()
+    (cache / "n_events.txt").write_text("1000000")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_S", "100000")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_ROUNDS", "6")
+
+    def install(script):
+        """script(n_cpus, call_index_for_that_cpu_level, tracking) ->
+        (eps, cpu_s). Thread-safe per-level call counter (the N lane's
+        draws run concurrently through a ThreadPoolExecutor)."""
+        lock = threading.Lock()
+        calls: dict = {}
+
+        def fake(n_cpus, events_path, snap_path, n_events, cores=None, tracking=False):
+            with lock:
+                i = calls.get((n_cpus, tracking), 0)
+                calls[(n_cpus, tracking)] = i + 1
+            eps, cpu = script(n_cpus, i, tracking)
+            return {"eps": float(eps), "cpu": float(cpu), "cores": cores or f"0-{n_cpus - 1}"}
+
+        monkeypatch.setattr(bench, "_replay_once", fake)
+        return calls
+
+    return install
+
+
+def _quiet(n_cpus, i, tracking):
+    # per-event cost flat in parallelism, ~0.86 scaling at each 4x step
+    table = {1: (5000, 470), 2: (9500, 475), 4: (17200, 520), 8: (31000, 560), 32: (24000, 3000)}
+    return table[n_cpus]
+
+
+def test_quiet_host_converges_and_records(scaling_env):
+    scaling_env(_quiet)
+    results = {}
+    out = bench.run_scaling(results)
+    assert out["scaling_efficiency"] == pytest.approx(0.86, abs=0.001)
+    assert out["scaling_efficiency_raw"] == out["scaling_efficiency"]
+    assert out["scaling_ladder"] == "1->4"
+    assert out["events_per_sec_N1"] == 5000
+    assert out["events_per_sec_4N4"] == 17200
+    lad = out["ladders"]["1->4"]
+    assert lad["valid_samples"]["1"] >= 2 and lad["valid_samples"]["4"] >= 3
+    assert all(r == pytest.approx(0.86, abs=0.001) for r in lad["pair_ratios"])
+    # tail runs recorded through the same fake
+    assert out["events_per_sec_local32"] == 24000
+    assert results["cdc_replay_N1"] == pytest.approx(1000000 / 5000, abs=0.01)
+
+
+def test_superlinear_ratio_is_clamped_raw_kept(scaling_env):
+    def script(n_cpus, i, tracking):
+        if n_cpus == 1:
+            return 4000, 500  # slightly slow N anchor, CPU within every gate
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_efficiency_raw"] == pytest.approx(1.075, abs=0.001)
+    assert out["scaling_efficiency"] == 1.0
+
+
+def test_poisoned_first_4n_round_is_rejected_by_absolute_gate(scaling_env):
+    # Round 0's 4N draws burn 850 cpu-s (dual-4N-style poisoning: uniform,
+    # so the floor-relative gate alone would pass them); the N anchor's
+    # 470 cpu-s floor * 1.6 = 752 rejects them. Later rounds draw quiet.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 4 and i < 2:
+            return 12000, 850
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_efficiency"] == pytest.approx(0.86, abs=0.001)
+    lad = out["ladders"]["1->4"]
+    # the poisoned draws are in the audit trail but not in the valid count
+    assert len(lad["all_runs"]["4"]) > lad["valid_samples"]["4"]
+    assert all(r["cpu_s"] <= 752 or r["eps"] == 12000 for r in lad["all_runs"]["4"])
+
+
+def test_all_rejected_4n_level_records_floor_relative_best_not_zero(scaling_env):
+    # EVERY 4N draw contended: the absolute gate rejects the whole level;
+    # eff_of must fall back to the level's floor-relative best (an honest
+    # degraded ratio), never 0 and never a crash.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 4:
+            return 12000 + i, 850
+        if n_cpus == 8:
+            return 21000 + i, 1100  # secondary ladder's high level: same story
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_efficiency"] > 0
+    assert out["scaling_efficiency"] == pytest.approx(0.6, abs=0.01)  # 12000/(4*5000)
+
+
+def test_contended_n_anchor_is_excluded_from_ratio(scaling_env):
+    # One N draw is contended (CPU over the quietest 4N draw's 520*1.05
+    # never mind its eps); the quiet N draw anchors the ratio instead, so
+    # the contended draw cannot inflate efficiency past truth.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 1 and i == 0:
+            return 3800, 700  # contended: low eps, high cpu
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["events_per_sec_N1"] == 5000
+    assert out["scaling_efficiency"] == pytest.approx(0.86, abs=0.001)
