@@ -746,6 +746,70 @@ class SnapshotTable:
         self._commit(new_meta)
         return new_meta["version"]
 
+    @_with_writer_lock
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> dict[str, Any]:
+        """Bucket-spec evolution — the Iceberg partition-spec-evolution
+        analog for this table's ``pmod(xxhash64(key), n_buckets)`` layout.
+
+        A table created at 64 buckets stops scaling long before 10^10
+        events: every merge fully rewrites each touched bucket, so bucket
+        size must stay bounded as the table grows (more buckets = smaller
+        rewrite units AND more merge parallelism). This rewrites the
+        CURRENT snapshot onto a new bucket count as one committed version
+        (one full-table shuffle + write — the same cost class as Iceberg's
+        ``rewrite_data_files`` with a new spec, amortized over the table's
+        lifetime). Everything else carries over untouched:
+
+        - exactly-once state (``applied_batch_ids`` + the compacted
+          ``applied_scn_hi`` watermark) — a replayed batch is still a no-op
+          after rebucketing;
+        - time travel: ``n_buckets`` is PER-VERSION metadata and every
+          reader/merge resolves it from the version it reads, so history
+          written at the old count stays readable and prunable;
+        - schema evolution: rows are materialized via ``read`` (renames
+          applied, initial defaults filled), and the new dirs record their
+          physical columns in ``data_columns`` like any other commit.
+
+        Runs under the writer lock like merge/overwrite: it rewrites data,
+        so it must not interleave with a live replay's commit (the
+        lock-free positive-provenance maintenance ops only ever delete
+        unreferenced files; this one moves rows).
+        """
+        n_buckets = int(n_buckets)
+        if n_buckets <= 0:
+            raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+        meta = self.metadata()
+        if n_buckets == meta["n_buckets"]:
+            return {
+                "version": meta["version"],
+                "n_buckets": n_buckets,
+                "rewritten": False,
+            }
+        version = meta["version"] + 1
+        schema = T.StructType.fromJson(meta["schema"])
+        out = self.read(spark).withColumn(
+            BUCKET_COL, _bucket_expr(meta["key_cols"], n_buckets)
+        )
+        out = out.repartition(n_buckets, F.col(BUCKET_COL))
+        buckets = self._write_buckets(out, version, pre_partitioned=True)
+        written_cols = [f.name for f in schema.fields]
+        new_meta = dict(meta)
+        new_meta.update(
+            version=version,
+            operation="rebucket",
+            timestamp=time.time(),
+            n_buckets=n_buckets,
+            buckets=buckets,
+            data_columns={p: written_cols for ps in buckets.values() for p in ps},
+        )
+        self._commit(new_meta)
+        return {
+            "version": version,
+            "n_buckets": n_buckets,
+            "rewritten": True,
+            "n_data_dirs": sum(len(ps) for ps in buckets.values()),
+        }
+
     # -------------------------------------------------------------- cleanup
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, Any]:
         """Iceberg's ``expire_snapshots``: drop manifests older than the
