@@ -35,3 +35,8 @@ from logminer_kafka_connect_spark.engine import (  # noqa: E402,F401
     MultiTableCdcEngine,
     TableSpec,
 )
+from logminer_kafka_connect_spark.config import (  # noqa: E402,F401
+    ConfigError,
+    SourceConnectorConfig,
+    parse_properties_file,
+)

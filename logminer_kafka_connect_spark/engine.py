@@ -65,6 +65,64 @@ class CdcEngine:
             quarantine_dir=os.path.join(workdir, "quarantine"),
         )
         self.driver.salt_chunks = salt_chunks
+        self.config = None  # set by from_properties
+
+    @classmethod
+    def from_properties(
+        cls,
+        spark: SparkSession,
+        workdir: str,
+        properties,
+        schema: T.StructType = PAGES_SCHEMA,
+        key_col: str = "url",
+        **kw,
+    ) -> "CdcEngine":
+        """Build the engine from a reference-format connector properties map
+        (``SourceConnectorConfig.kt``; see ``config.py`` for the key-by-key
+        mapping). Selectors come from ``table.whitelist``; ``db.timezone``
+        is applied to the Spark session; ``start.scn`` / ``batch.size`` /
+        ``tombstones.on.delete`` / ``db.name`` drive :meth:`run_from_config`
+        and envelope emission via the attached :attr:`config`."""
+        from logminer_kafka_connect_spark.config import SourceConnectorConfig
+
+        cfg = (
+            properties
+            if isinstance(properties, SourceConnectorConfig)
+            else SourceConnectorConfig(properties)
+        )
+        cfg.apply_session_timezone(spark)
+        eng = cls(
+            spark, workdir, selectors=cfg.selectors() or None,
+            schema=schema, key_col=key_col, **kw,
+        )
+        eng.config = cfg
+        return eng
+
+    def run_from_config(
+        self,
+        events: DataFrame,
+        snapshot_source: DataFrame | None = None,
+        snapshot_scn: int = 0,
+        total_events: int | None = None,
+    ) -> ReplayStats:
+        """The reference's start decision (``SourceTask.kt:66-95``), driven
+        by the attached properties: ``start.scn == 0`` -> initial snapshot
+        (if a source is given, as-of ``snapshot_scn``) then CDC;
+        ``start.scn > 0`` -> CDC only, from that SCN, no snapshot — exactly
+        ``createOffsetFromConfig``. ``batch.size`` sizes the commit-SCN
+        micro-batches (capped at 64: beyond that, batch granularity no
+        longer buys isolation, only per-batch driver overhead)."""
+        cfg = self.config
+        if cfg is None:
+            raise ValueError("run_from_config requires an engine built via from_properties")
+        start_scn = None if cfg.needs_initial_snapshot else cfg.start_scn
+        if cfg.needs_initial_snapshot and snapshot_source is not None:
+            self.load_snapshot(snapshot_source, snapshot_scn=snapshot_scn)
+        if total_events is None:
+            total_events = events.count()
+        return self.replay(
+            events, n_batches=min(64, cfg.n_batches(total_events)), start_scn=start_scn
+        )
 
     def load_snapshot(self, source: DataFrame, snapshot_scn: int, n_chunks: int | None = None) -> dict:
         return load_snapshot(self.table, source, snapshot_scn, n_chunks=n_chunks)
@@ -139,6 +197,51 @@ class MultiTableCdcEngine:
             quarantine_dir=os.path.join(workdir, "quarantine"),
         )
         self.driver.salt_chunks = salt_chunks
+        self.config = None  # set by from_properties
+
+    @classmethod
+    def from_properties(
+        cls,
+        spark: SparkSession,
+        workdir: str,
+        properties,
+        specs: list[TableSpec],
+        **kw,
+    ) -> "MultiTableCdcEngine":
+        """Build from a reference-format properties map. ``table.whitelist``
+        plays the role of ``SourceTask.kt:46-63`` ``getTablesToFetch``:
+        ``OWNER.TABLE`` entries select that spec, bare ``OWNER`` entries
+        select every spec in the schema (the reference expands those from
+        JDBC metadata; here the ``specs`` list is the catalog). An empty
+        whitelist monitors all specs."""
+        from logminer_kafka_connect_spark.config import SourceConnectorConfig
+
+        cfg = (
+            properties
+            if isinstance(properties, SourceConnectorConfig)
+            else SourceConnectorConfig(properties)
+        )
+        cfg.apply_session_timezone(spark)
+        selectors = cfg.selectors()
+        if selectors:
+            selected = [
+                s
+                for s in specs
+                if any(
+                    s.owner == owner and (table is None or s.table == table)
+                    for owner, table in selectors
+                )
+            ]
+            if not selected:
+                raise ValueError(
+                    f"table.whitelist {cfg.monitored_tables} matches none of the "
+                    f"declared specs {[f'{s.owner}.{s.table}' for s in specs]}"
+                )
+        else:
+            selected = list(specs)
+        eng = cls(spark, workdir, selected, **kw)
+        eng.config = cfg
+        return eng
 
     def table(self, name: str) -> SnapshotTable:
         return self._tables[name]

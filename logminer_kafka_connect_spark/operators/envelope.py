@@ -35,11 +35,23 @@ def _typed_struct(img: Column, schema: T.StructType) -> Column:
     return F.struct(*decode_image_map(img, schema.fields))
 
 
+def topic_expr(db_name: str) -> Column:
+    """Per-row Kafka topic name: ``sanitize(db.name + '.' + owner + '.' +
+    table)`` (``SourceDatabaseNameService.kt:5-21``) as a codegen-able
+    column expression over the change stream's ``seg_owner``/``table_name``."""
+    return F.regexp_replace(
+        F.concat_ws(".", F.lit(db_name), F.col("seg_owner"), F.col("table_name")),
+        "[^A-Za-z0-9._-]",
+        "_",
+    )
+
+
 def to_envelope(
     parsed: DataFrame,
     schema: T.StructType,
     key_col: str = "url",
     tombstones: bool = False,
+    db_name: str | None = None,
 ) -> DataFrame:
     """Parsed committed changes -> envelope records.
 
@@ -48,6 +60,10 @@ def to_envelope(
     ``tombstones=True`` appends a null-valued record per DELETE
     (compaction tombstone, config ``behavior.on.delete`` analog,
     ``SourceConnectorConfig.kt:118-119, 200-206``).
+    ``db_name`` (the connector's ``db.name`` logical name) prepends the
+    per-row ``topic`` column the reference routes each record by
+    (``ConnectSchemaFactory.kt:125``, ``SourceDatabaseNameService.kt:20-21``);
+    tombstones go to the same topic as the delete they follow.
     """
     op_char = (
         F.when(F.col("op_code") == OP_INSERT, "i")
@@ -75,7 +91,9 @@ def to_envelope(
         F.col("username").alias("user"),
     )
 
+    topic_cols = [topic_expr(db_name).alias("topic")] if db_name is not None else []
     env = parsed.select(
+        *topic_cols,
         key_expr(key_col.upper()).alias("key"),
         op_char.alias("op"),
         F.when(
@@ -90,6 +108,7 @@ def to_envelope(
     if not tombstones:
         return env
     tomb = env.filter(F.col("op") == "d").select(
+        *(["topic"] if db_name is not None else []),
         "key",
         F.lit("t").alias("op"),
         F.lit(None).cast(env.schema["before"].dataType).alias("before"),
