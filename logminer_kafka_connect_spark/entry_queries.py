@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from logminer_kafka_connect_spark.operators.textops import cluster as CL
 from logminer_kafka_connect_spark.operators.textops import dedup as D
 from logminer_kafka_connect_spark.operators.textops import quality as Q
 from logminer_kafka_connect_spark.operators.textops import similarity as S
@@ -423,10 +424,9 @@ _BAND_SELECTS = "\n UNION ALL ".join(
     for b in range(_N_BANDS)
 )
 
-@_q(
-    "d15_minhash_lsh",
-    f"""
-    WITH {_shingle_cte(3, "WHERE doc_id < 2000")},
+# Shared between d15 (pair emission) and d20 (cluster resolution over the
+# same pairs): identical CTE text keeps the two oracles in lockstep.
+_D15_CTES = f"""{_shingle_cte(3, "WHERE doc_id < 2000")},
     shd AS (SELECT doc_id,
                    ('0x' || substr(md5(shingle), 1, 8))::bigint AS v1,
                    ('0x' || substr(md5(shingle), 9, 8))::bigint AS v2
@@ -440,14 +440,22 @@ _BAND_SELECTS = "\n UNION ALL ".join(
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
               FROM sh a JOIN sh b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT c.id_a, c.id_b,
+              GROUP BY 1, 2)"""
+
+_D15_PAIR_SELECT = """SELECT c.id_a, c.id_b,
            round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
     FROM cand c
     JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
     JOIN sizes na ON na.doc_id = c.id_a
     JOIN sizes nb ON nb.doc_id = c.id_b
-    WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.2
+    WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.2"""
+
+
+@_q(
+    "d15_minhash_lsh",
+    f"""
+    WITH {_D15_CTES}
+    {_D15_PAIR_SELECT}
     """,
 )
 def d15(spark, sf_dir):
@@ -516,6 +524,36 @@ def d17(spark, sf_dir):
 )
 def d18(spark, sf_dir):
     return D.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@_q(
+    "d20_dup_clusters",
+    f"""
+    WITH RECURSIVE {_D15_CTES},
+    pairs AS ({_D15_PAIR_SELECT}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+           (d.doc_id = coalesce(cc.cluster_id, d.doc_id)) AS is_canonical
+    FROM documents d LEFT JOIN cc USING (doc_id)
+    WHERE d.doc_id < 2000
+    """,
+)
+def d20(spark, sf_dir):
+    """Dedup cluster resolution: MinHash-LSH verified pairs (exactly d15's)
+    -> connected components (alternating large/small star, O(log n) rounds)
+    -> every doc labeled (cluster_id = component min, is_canonical flag).
+    Oracle: recursive-CTE transitive closure over the same pair query."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pairs = D.minhash_lsh_dedup(docs, n_hashes=_N_HASHES, n_bands=_N_BANDS, threshold=0.2)
+    return CL.assign_clusters(docs, pairs)
 
 
 # --------------------------------------------------------------------------

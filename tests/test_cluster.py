@@ -1,0 +1,123 @@
+"""Connected-components cluster resolution — differential-tested against a
+pure-python union-find oracle (independent of the Spark implementation),
+including the chain graphs that punish naive min-propagation."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from logminer_kafka_connect_spark.operators.textops.cluster import (
+    assign_clusters,
+    connected_components,
+    keep_canonical,
+)
+
+
+def _uf_oracle(edges: list[tuple], nodes=None) -> dict:
+    """Union-find, smallest id becomes the representative."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    out = {}
+    for x in set(parent) | set(nodes or []):
+        out[x] = find(x)
+    return out
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df).collect()
+    return {r["id"]: r["cluster_id"] for r in got}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 80
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randrange(20, 70))
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    oracle = _uf_oracle(edges)
+    got = _cc_spark(spark, edges)
+    assert got == oracle
+
+
+def test_chain_graph_converges_logarithmically(spark):
+    """A 64-node path is the worst case for min-label propagation (63
+    rounds); star contraction must finish well inside max_iter and still
+    label every node with the chain head."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cliques_and_singleton_edges(spark):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0-4
+    edges += [(10, 11), (12, 13), (11, 12)]  # path 10-13
+    edges += [(100, 101)]
+    got = _cc_spark(spark, edges)
+    assert got == _uf_oracle(edges)
+    assert got[13] == 10 and got[101] == 100
+
+
+def test_string_ids_and_duplicate_edges(spark):
+    edges = [("b", "a"), ("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    out = assign_clusters(docs, df).collect()
+    assert all(r["doc_id"] == r["cluster_id"] and r["is_canonical"] for r in out)
+
+
+def test_assign_and_keep_canonical(spark):
+    docs = spark.range(10).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc-"), F.col("doc_id"))
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (7, 8)], "id_a long, id_b long")
+    labeled = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+               for r in assign_clusters(docs, pairs).collect()}
+    assert labeled[1] == (1, True) and labeled[3] == (1, False) and labeled[5] == (1, False)
+    assert labeled[7] == (7, True) and labeled[8] == (7, False)
+    assert labeled[0] == (0, True)  # singleton: own cluster
+    kept = keep_canonical(docs, pairs)
+    assert set(kept.columns) == {"doc_id", "text"}  # original columns intact
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4, 6, 7, 9]
+
+
+def test_d20_matches_duckdb_oracle(spark):
+    """The driver-contract gate in miniature: d20 Spark vs recursive-CTE
+    oracle at sf0.001."""
+    import duckdb
+
+    from logminer_kafka_connect_spark.entry_queries import ORACLES, QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = QUERIES["d20_dup_clusters"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    exp = con.execute(ORACLES["d20_dup_clusters"]).fetchall()
+    got_set = {(r["doc_id"], r["cluster_id"], r["is_canonical"]) for r in got}
+    assert got_set == set(map(tuple, exp))
+    assert len(got) == len(exp)
