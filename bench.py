@@ -82,6 +82,7 @@ HEADLINE = [
     "d14_exact_dedup",
     "d15_minhash_lsh",
     "d16_simhash",
+    "d20_dup_clusters",
     "n18_cosine_topk",
     "n19_ivf_topk",
     "t21_quality_score",

@@ -77,11 +77,44 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+#: below this many edges the component structure fits trivially on the
+#: driver and the O(log n) distributed rounds are pure fixed overhead
+#: (~2s/round of scheduling at local[32]); union-find on the collected
+#: edge list is exact and ~10^2x faster. Same size-gated philosophy as
+#: the marker join's BROADCAST_MARKER_LIMIT.
+DRIVER_CC_LIMIT = 200_000
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    assignment = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(assignment, schema=edges.schema).select(
+        F.col("a").alias("id"), F.col("b").alias("cluster_id")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_limit: int = DRIVER_CC_LIMIT,
 ) -> DataFrame:
     """Edges ``(src, dst)`` -> assignment ``(id, cluster_id)`` where
     ``cluster_id`` is the component's minimum id (deterministic canonical
@@ -89,12 +122,21 @@ def connected_components(
     singletons are their own cluster by definition and are filled in by
     :func:`assign_clusters`' left join. Ids may be any orderable type
     (long, string); empty input yields an empty assignment.
+
+    Size-gated: at most ``driver_limit`` distinct edges -> exact
+    union-find on the driver (verified near-dup pair sets are usually
+    minuscule next to the corpus); above it -> distributed star
+    contraction. Identical output either way (pinned by tests running
+    both paths on the same graphs); ``driver_limit=0`` forces the
+    distributed path.
     """
     edges = _canonical(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     edges = edges.localCheckpoint(eager=True)
     n, h = _checksum(edges)
     if n == 0:
         return edges.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+    if n <= driver_limit:
+        return _driver_union_find(pairs.sparkSession, edges)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         n2, h2 = _checksum(nxt)
@@ -112,13 +154,13 @@ def connected_components(
 
 def assign_clusters(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    src: str = "id_a", dst: str = "id_b",
+    src: str = "id_a", dst: str = "id_b", driver_limit: int = DRIVER_CC_LIMIT,
 ) -> DataFrame:
     """Label every document with its dedup cluster: docs in no pair are
     their own cluster. Output = docs' id column + ``cluster_id`` +
     ``is_canonical`` (exactly one per cluster, the minimum id — the row a
     keep-one-per-group curation step retains)."""
-    cc = connected_components(pairs, src=src, dst=dst)
+    cc = connected_components(pairs, src=src, dst=dst, driver_limit=driver_limit)
     out = (
         docs.select(F.col(id_col))
         .join(cc.withColumnRenamed("id", id_col), id_col, "left")
@@ -132,11 +174,11 @@ def assign_clusters(
 
 def keep_canonical(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    src: str = "id_a", dst: str = "id_b",
+    src: str = "id_a", dst: str = "id_b", driver_limit: int = DRIVER_CC_LIMIT,
 ) -> DataFrame:
     """Keep one document per near-dup cluster (the minimum id), all
     original columns intact — the actual dataset-curation operator."""
-    reps = assign_clusters(docs.select(id_col), pairs, id_col, src, dst).filter(
-        "is_canonical"
-    )
+    reps = assign_clusters(
+        docs.select(id_col), pairs, id_col, src, dst, driver_limit=driver_limit
+    ).filter("is_canonical")
     return docs.join(reps.select(id_col), id_col, "left_semi")

@@ -38,14 +38,20 @@ def _uf_oracle(edges: list[tuple], nodes=None) -> dict:
     return out
 
 
-def _cc_spark(spark, edges):
+def _cc_spark(spark, edges, driver_limit):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = connected_components(df).collect()
+    got = connected_components(df, driver_limit=driver_limit).collect()
     return {r["id"]: r["cluster_id"] for r in got}
 
 
+# driver_limit=0 forces distributed star contraction; the default takes
+# the driver union-find path — both must produce identical labelings.
+BOTH_PATHS = pytest.mark.parametrize("driver_limit", [0, 200_000])
+
+
+@BOTH_PATHS
 @pytest.mark.parametrize("seed", [1, 2, 3])
-def test_random_graphs_match_union_find(spark, seed):
+def test_random_graphs_match_union_find(spark, seed, driver_limit):
     rng = random.Random(seed)
     n = 80
     edges = [
@@ -54,32 +60,38 @@ def test_random_graphs_match_union_find(spark, seed):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     oracle = _uf_oracle(edges)
-    got = _cc_spark(spark, edges)
+    got = _cc_spark(spark, edges, driver_limit)
     assert got == oracle
 
 
-def test_chain_graph_converges_logarithmically(spark):
+@BOTH_PATHS
+def test_chain_graph_converges_logarithmically(spark, driver_limit):
     """A 64-node path is the worst case for min-label propagation (63
     rounds); star contraction must finish well inside max_iter and still
     label every node with the chain head."""
     edges = [(i, i + 1) for i in range(63)]
-    got = _cc_spark(spark, edges)
+    got = _cc_spark(spark, edges, driver_limit)
     assert got == {i: 0 for i in range(64)}
 
 
-def test_cliques_and_singleton_edges(spark):
+@BOTH_PATHS
+def test_cliques_and_singleton_edges(spark, driver_limit):
     edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique 0-4
     edges += [(10, 11), (12, 13), (11, 12)]  # path 10-13
     edges += [(100, 101)]
-    got = _cc_spark(spark, edges)
+    got = _cc_spark(spark, edges, driver_limit)
     assert got == _uf_oracle(edges)
     assert got[13] == 10 and got[101] == 100
 
 
-def test_string_ids_and_duplicate_edges(spark):
+@BOTH_PATHS
+def test_string_ids_and_duplicate_edges(spark, driver_limit):
     edges = [("b", "a"), ("a", "b"), ("b", "c"), ("x", "y")]
     df = spark.createDataFrame(edges, "id_a string, id_b string")
-    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df, driver_limit=driver_limit).collect()
+    }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
