@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 from logminer_kafka_connect_spark.operators.textops import cluster as CL
 from logminer_kafka_connect_spark.operators.textops import dedup as D
 from logminer_kafka_connect_spark.operators.textops import quality as Q
+from logminer_kafka_connect_spark.operators.textops import sampling as SA
 from logminer_kafka_connect_spark.operators.textops import similarity as S
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -733,6 +734,98 @@ def t21(spark, sf_dir):
 )
 def t22(spark, sf_dir):
     return Q.doc_fingerprint(t(spark, sf_dir, "documents"), shingle_k=5)
+
+
+# Integer membership thresholds shared with the DuckDB oracles: a row is
+# kept iff ('0x' || first 8 md5 hex chars)::bigint < floor(rate * 2^32).
+_SPLIT_SQL = """CASE
+      WHEN ('0x' || substr(md5(cast(doc_id AS varchar) || ':split'), 1, 8))::bigint
+           < {t_train} THEN 'train'
+      WHEN ('0x' || substr(md5(cast(doc_id AS varchar) || ':split'), 1, 8))::bigint
+           < {t_val} THEN 'val'
+      ELSE 'test' END""".format(
+    # t_val mirrors assign_split's running accumulation (0.9 + 0.05) so the
+    # float rounding is bit-identical on both sides
+    t_train=int(0.9 * (1 << 32)), t_val=int((0.9 + 0.05) * (1 << 32))
+)
+
+
+@_q(
+    "t24_hash_split",
+    f"""
+    SELECT doc_id, {_SPLIT_SQL} AS split FROM documents
+    """,
+)
+def t24(spark, sf_dir):
+    """Deterministic train/val/test assignment — pure projection, no
+    shuffle; same (key, salt) -> same split on any engine/cluster."""
+    return SA.assign_split(
+        t(spark, sf_dir, "documents").select("doc_id"),
+        weights=[("train", 0.9), ("val", 0.05), ("test", 0.05)],
+    )
+
+
+_STRATA_THRESH = {
+    "en": int(0.25 * (1 << 32)),
+    "de": int(1.0 * (1 << 32)),
+}
+
+
+@_q(
+    "t25_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(cast(doc_id AS varchar) || ':strata'), 1, 8))::bigint
+          < CASE lang WHEN 'en' THEN {_STRATA_THRESH['en']}
+                      WHEN 'de' THEN {_STRATA_THRESH['de']}
+                      ELSE {int(0.5 * (1 << 32))} END
+    """,
+)
+def t25(spark, sf_dir):
+    """Per-stratum deterministic sampling: downsample English hard, keep
+    all German, half of everything else — one CASE filter, narrow plan."""
+    return SA.stratified_sample(
+        t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        rates={"en": 0.25, "de": 1.0},
+        default_rate=0.5,
+    )
+
+
+def _ngram_occurrences_cte(n: int) -> str:
+    """All word n-gram occurrences (not distinct) — mirrors
+    sampling._ngrams_expr including the short-doc fallback."""
+    return f"""
+    w AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents),
+    g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= {n}
+              THEN [array_to_string(ws[i:i+{n - 1}], ' ')
+                    FOR i IN range(1, len(ws) - {n - 2})]
+              ELSE [array_to_string(ws, ' ')] END) AS gram
+          FROM w)
+    """
+
+
+@_q(
+    "t23_repetition_stats",
+    f"""
+    WITH {_ngram_occurrences_cte(2)},
+    per_gram AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    top2 AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_2gram_frac
+             FROM per_gram GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    len(string_split(text, chr(10))) AS n_lines,
+                    round(1.0 - len(list_distinct(string_split(text, chr(10))))
+                          / len(string_split(text, chr(10))), 6) AS dup_line_frac,
+                    round(1.0 - len(list_distinct(ws)) / len(ws), 6) AS dup_word_frac
+             FROM w)
+    SELECT base.doc_id, n_lines, dup_line_frac, dup_word_frac, top_2gram_frac
+    FROM base JOIN top2 ON base.doc_id = top2.doc_id
+    """,
+)
+def t23(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line/word fractions +
+    top-2-gram coverage)."""
+    return SA.repetition_stats(t(spark, sf_dir, "documents"), ngram_ns=(2,))
 
 
 # --------------------------------------------------------------------------
