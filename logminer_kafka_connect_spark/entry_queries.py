@@ -828,6 +828,28 @@ def t23(spark, sf_dir):
     return SA.repetition_stats(t(spark, sf_dir, "documents"), ngram_ns=(2,))
 
 
+@_q(
+    "w26_event_windows",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def w26(spark, sf_dir):
+    """Event-time tumbling windows (T10): batch twin of the streaming
+    windowed aggregation in streaming/windows.py — same operator, same
+    plan shape, full SQL oracle."""
+    from logminer_kafka_connect_spark.streaming.windows import windowed_event_stats
+
+    return windowed_event_stats(t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (no SQL-expressible oracle): CDC replay, LSH ANN,
 # multimodal features
