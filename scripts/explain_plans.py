@@ -35,6 +35,9 @@ SHOW = [
     "j13_dim_lookup",
     "d15_minhash_lsh",
     "n18_cosine_topk",
+    "t23_repetition_stats",
+    "t24_hash_split",  # the no-Exchange narrow plan is the point
+    "w26_event_windows",
 ]
 
 
