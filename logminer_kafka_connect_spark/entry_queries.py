@@ -887,6 +887,42 @@ def cdc_replay(spark, sf_dir):
     )
 
 
+@_q("cdc_table_changes")
+def cdc_table_changes(spark, sf_dir):
+    """Changelog surface: replay a deterministic CDC log into the lake
+    table, then read_changes between the last two versions — the
+    incremental diff a downstream consumer polls. Rows-only (the diff is
+    over the engine's own versioned table, not a testdata table);
+    semantics pinned vs a brute state-diff oracle in
+    tests/test_table_changes.py."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.engine import CdcEngine
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+
+    sf = "0.001" if "0.001" in sf_dir else ("0.01" if "0.01" in sf_dir else "0.1")
+    n_txns = {"0.001": 40, "0.01": 120, "0.1": 400}[sf]
+    gen = CdcGenerator(
+        GeneratorConfig(seed=77, n_txns=n_txns, n_urls=n_txns * 2, n_snapshot=n_txns // 2)
+    )
+    workdir = tempfile.mkdtemp(prefix="lmkc-entry-chg-")
+    engine = CdcEngine(spark, workdir, n_buckets=16)
+    engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
+    engine.replay(gen.events_df(spark), n_batches=2)
+    v = engine.table.current_version()
+    ch = engine.table.read_changes(spark, v - 1, v)
+    return ch.select(
+        "url",
+        "op",
+        F.md5(F.coalesce(F.col("before.text"), F.lit(""))).alias("before_md5"),
+        F.md5(F.coalesce(F.col("after.text"), F.lit(""))).alias("after_md5"),
+    )
+
+
 @_q("cdc_replay_multi")
 def cdc_replay_multi(spark, sf_dir):
     """Multi-table CDC routing: one interleaved redo log replayed into TWO
