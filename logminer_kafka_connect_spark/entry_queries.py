@@ -829,6 +829,30 @@ def t23(spark, sf_dir):
 
 
 @_q(
+    "a08_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def a08(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). Exact percentile
+    is a full per-group value shuffle — correct at any scale but at 100 TB
+    the sketch path is `approx_percentile` (t-digest, partial-aggregable,
+    one pass); this entry is the exact baseline the sketch is judged
+    against."""
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@_q(
     "w26_event_windows",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
