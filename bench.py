@@ -319,11 +319,15 @@ def run_scaling(results: dict) -> dict:
         return [s for s in v4 if s.get("cpu") and s["cpu"] <= lim]
 
     def eff_of(lad) -> float:
-        a = n_for_ratio(lad)
-        # fall back to the floor-relative gate if the absolute gate
-        # rejects everything (it is a contamination detector, not the
-        # estimator itself — an all-rejected level should record its
-        # floor-relative best, never 0)
+        # fall back to the floor-relative gate if an absolute cross-gate
+        # rejects everything (the gates are contamination detectors, not
+        # the estimator itself — an all-rejected level should record its
+        # floor-relative best, never 0). The N-side fallback matters when
+        # a mildly CPU-inflated N window sits under quieter 4N draws
+        # (observed: N draws at 540/543 cpu-s vs a 512 cpu-s 4N draw ->
+        # 1.05x gate rejects every N sample); the resulting ratio can only
+        # err HIGH, which the headline clamp at 1.0 already bounds.
+        a = n_for_ratio(lad) or _valid(runs[lad][lad[0]])
         b = valid_hi(lad) or _valid(runs[lad][lad[1]])
         if not a or not b:
             return 0.0

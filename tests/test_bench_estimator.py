@@ -140,3 +140,31 @@ def test_contended_n_anchor_is_excluded_from_ratio(scaling_env):
     out = bench.run_scaling({})
     assert out["events_per_sec_N1"] == 5000
     assert out["scaling_efficiency"] == pytest.approx(0.86, abs=0.001)
+
+
+def test_all_rejected_n_level_falls_back_not_zero(scaling_env):
+    # Observed live (round-4 continuation rehearsal): both 1-core draws
+    # mildly CPU-inflated (540/543 cpu-s) while a later 4-core draw was
+    # quieter (512 cpu-s) -> the 1.05x N cross-gate rejected EVERY N
+    # sample and eff_of recorded 0.000 for an engine measuring ~1.0.
+    # The N side must fall back to its floor-relative best exactly like
+    # the 4N side does; the resulting ratio can only err high, which the
+    # 1.0 clamp bounds.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 1:
+            return [(5114, 540), (5076, 543)][i % 2]
+        if n_cpus == 4:
+            return [(19237, 563), (20421, 523), (19153, 569), (20489, 512)][i % 4]
+        if n_cpus == 2:
+            return 9500, 500
+        if n_cpus == 8:
+            return 31000, 560
+        return 24000, 3000
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_efficiency"] > 0  # the regression: was 0.000
+    assert out["scaling_efficiency"] == 1.0  # clamped headline
+    assert out["scaling_efficiency_raw"] == pytest.approx(20489 / 5114 / 4, abs=0.002)
+    assert out["scaling_ladder"] == "1->4"
+    assert out["n_valid_pairs"] >= 2
