@@ -491,7 +491,14 @@ def run_scaling(results: dict) -> dict:
         return s_[m] if len(s_) % 2 else (s_[m - 1] + s_[m]) / 2
 
     ladder_stats = {}
-    best_lad, best_eff = None, -1.0
+    # selection: clamped efficiency first (>1.0 is noise, not merit — a
+    # contended N denominator can only inflate), then whether the
+    # denominator passed the absolute cross-gate (a fallback denominator
+    # is an inflated one by construction), then valid-pair count, then
+    # raw. Without this, a 2->8 ladder whose N draws were all contended
+    # (fallback denominator, raw 1.08) outranks an anchor ladder
+    # measuring a clean 1.003 with gate-valid samples on both levels.
+    best_lad, best_score = None, (-1.0, -1, -1, -1.0)
     for lad in ladders:
         if not runs[lad][lad[0]] or not runs[lad][lad[1]]:
             continue
@@ -524,8 +531,9 @@ def run_scaling(results: dict) -> dict:
                 for k, v in runs[lad].items()
             },
         }
-        if eff > best_eff:
-            best_lad, best_eff = lad, eff
+        score = (min(eff, 1.0), 1 if n_for_ratio(lad) else 0, len(vp), eff)
+        if score > best_score:
+            best_lad, best_score = lad, score
 
     lvl_n, lvl_4n = best_lad
     eps_n = max(s["eps"] for s in (_valid(runs[best_lad][lvl_n]) or runs[best_lad][lvl_n]))
@@ -578,8 +586,8 @@ def run_scaling(results: dict) -> dict:
         # >1.0 on a fixed workload is measurement noise in the engine's
         # favor (the N anchor drew a slightly-contended window); clamp the
         # headline — we claim linear at best — and keep the raw ratio.
-        "scaling_efficiency": min(round(best_eff, 3), 1.0),
-        "scaling_efficiency_raw": round(best_eff, 3),
+        "scaling_efficiency": min(round(best_score[3], 3), 1.0),
+        "scaling_efficiency_raw": round(best_score[3], 3),
         "scaling_efficiency_pair_max": ladder_stats[f"{lvl_n}->{lvl_4n}"][
             "scaling_efficiency_pair_max"
         ],

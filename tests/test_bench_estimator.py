@@ -168,3 +168,26 @@ def test_all_rejected_n_level_falls_back_not_zero(scaling_env):
     assert out["scaling_efficiency_raw"] == pytest.approx(20489 / 5114 / 4, abs=0.002)
     assert out["scaling_ladder"] == "1->4"
     assert out["n_valid_pairs"] >= 2
+
+
+def test_ladder_selection_prefers_gate_clean_over_inflated_raw(scaling_env):
+    # Anchor 1->4 measures a clean ~1.0 with 2 valid pairs; the 2->8
+    # ladder's N draws are all contended (fallback denominator) giving an
+    # inflated raw 1.35. Both clamp to 1.0; the selection must report the
+    # anchor (more valid pairs, honest raw), not the inflated ladder.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 1:
+            return 5000, 470
+        if n_cpus == 4:
+            return 20000, 520
+        if n_cpus == 2:
+            return 6000, 800  # contended: slow AND cpu-inflated
+        if n_cpus == 8:
+            return 32400, 560
+        return 24000, 3000
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_ladder"] == "1->4"
+    assert out["scaling_efficiency"] == 1.0
+    assert out["scaling_efficiency_raw"] == pytest.approx(1.0, abs=0.001)
