@@ -1127,6 +1127,39 @@ def mm_png_decode(spark, sf_dir):
     )
 
 
+@_q("mm_wav_decode")
+def mm_wav_decode(spark, sf_dir):
+    """Audio rung of the multimodal slot (rows-only; no SQL oracle decodes
+    PCM): text -> valid RIFF/WAVE tone mixture (pure-python encoder) ->
+    sample-accurate decode -> waveform features (duration, RMS,
+    zero-crossing rate, 16-band spectrum), through the same mapInPandas
+    plumbing with the audio feature schema. Round-trip exactness pinned in
+    tests/test_textops.py."""
+    from logminer_kafka_connect_spark.functions.media_codec import wav_decoder
+    from logminer_kafka_connect_spark.operators.textops.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        attach_wav_media_columns,
+        extract_media_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_media_features(
+        attach_wav_media_columns(docs),
+        use_real_decoder=True,
+        decoder=wav_decoder,
+        feature_schema=AUDIO_FEATURE_SCHEMA,
+    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "rate",
+        "duration_s",
+        "rms",
+        "zero_crossing_rate",
+        F.to_json("feature").alias("feature_json"),
+    )
+
+
 # --------------------------------------------------------------------------
 # 26. Stateful streaming compaction (applyInPandasWithState) — beyond-
 #     reference (SURVEY.md §2 T10 n/a): per-key latest-wins CDC compactor

@@ -164,3 +164,83 @@ def png_decoder(payload: bytes) -> dict:
         "byte_entropy": round(entropy, 6),
         "feature": [float(x) for x in bins],
     }
+
+
+# ---------------------------------------------------------------------- WAV
+# Audio rung of the multimodal slot: RIFF/WAVE PCM is fully decodable with
+# struct + numpy (no codec library), so audio features can come from real
+# samples the same way PNG features come from real pixels.
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode a 1-D int16 array as a valid RIFF/WAVE file (PCM, mono)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM mono 16-bit
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM mono 16-bit RIFF/WAVE file -> (int16 samples, rate).
+
+    Walks RIFF chunks (tolerates extra chunks like LIST), validates the
+    fmt contract, and checks the declared sizes against the payload."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 != len(data):
+        raise ValueError("WAV RIFF length mismatch")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt {audio_fmt}, {channels}ch, {bits}-bit); "
+                    "this decoder handles PCM mono 16-bit"
+                )
+        elif cid == b"data":
+            if len(body) != clen:
+                raise ValueError("WAV data chunk truncated")
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return samples.astype(np.int16), int(rate)
+
+
+def wav_decoder(payload: bytes) -> dict:
+    """A real audio ``decoder=`` for extract_media_features (paired with
+    the audio feature schema, ``textops.multimodal.AUDIO_FEATURE_SCHEMA``):
+    decodes actual PCM samples and derives the feature row from the
+    waveform — duration, RMS level, zero-crossing rate, and a 16-band
+    normalized magnitude spectrum (rFFT) — not from the container bytes."""
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    if mag.size > 1:
+        mag = mag[1:]  # drop DC so the bands reflect spectral shape
+    bands = np.array_split(mag, 16)
+    feat = np.array([float(b.sum()) for b in bands])
+    total = feat.sum()
+    if total > 0:
+        feat = feat / total
+    return {
+        "n_bytes": int(len(payload)),
+        "rate": int(rate),
+        "duration_s": round(len(x) / rate, 6),
+        "rms": round(rms, 6),
+        "zero_crossing_rate": round(zc, 6),
+        "feature": [round(float(v), 8) for v in feat],
+    }

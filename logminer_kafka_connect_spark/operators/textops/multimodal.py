@@ -39,6 +39,19 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+#: audio decoders emit waveform-derived rows (see media_codec.wav_decoder)
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossing_rate", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
 
 def attach_media_columns(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Synthesize an opaque binary payload + metadata struct from text
@@ -110,6 +123,7 @@ def extract_media_features(
     media_col: str = "media",
     use_real_decoder: bool = False,
     decoder=None,
+    feature_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Decode/feature-extract over Arrow batches (``mapInPandas``).
 
@@ -128,6 +142,7 @@ def extract_media_features(
             "this environment; pass decoder=<bytes -> feature dict>"
         )
     decode = decoder or _fake_decode
+    schema = feature_schema or FEATURE_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,4 +151,41 @@ def extract_media_features(
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
 
-    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(run, FEATURE_SCHEMA)
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(run, schema)
+
+
+def attach_wav_media_columns(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", rate: int = 8000
+) -> DataFrame:
+    """Audio twin of attach_png_media_columns: the payload is a VALID
+    RIFF/WAVE PCM file whose waveform is a deterministic tone mixture
+    derived from the text bytes, so the real ``wav_decoder``
+    (functions/media_codec.py) exercises the decode slot with honest,
+    sample-accurate audio. Arrow pandas UDF, per-batch amortized."""
+    import pandas as pd  # noqa: F811 (UDF-local, pickled to workers)
+
+    from logminer_kafka_connect_spark.functions.media_codec import encode_wav
+
+    @F.pandas_udf(T.BinaryType())
+    def to_wav(text: pd.Series) -> pd.Series:
+        out = []
+        for txt in text:
+            b = (txt or "").encode("utf-8") or b"\x00"
+            arr = np.frombuffer(b, dtype=np.uint8)
+            n = min(4000, max(400, len(arr) * 8))  # 50-500 ms at 8 kHz
+            t_ax = np.arange(n) / rate
+            # three tones whose frequencies are text-determined
+            freqs = [110.0 + float(arr[i % len(arr)]) * 7.0 for i in range(3)]
+            wave = sum(np.sin(2 * np.pi * f * t_ax) for f in freqs) / 3.0
+            out.append(encode_wav((wave * 20000).astype(np.int16), rate))
+        return pd.Series(out)
+
+    payload = to_wav(F.col(text_col))
+    df = df.select(F.col(id_col), payload.alias("media"))
+    meta = F.struct(
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.length("media").cast("long").alias("n_bytes"),
+    )
+    return df.select(id_col, "media", meta.alias("media_meta"))

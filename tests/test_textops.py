@@ -282,3 +282,84 @@ def test_png_decoder_end_to_end_through_media_slot(spark, docs):
     px = decode_png(bytes(rows[some_id]["media"]))
     assert abs(out[some_id]["byte_mean"] - float(px.mean())) < 1e-9
     assert len(out[some_id]["feature"]) == 16
+
+
+def test_wav_roundtrip_exact():
+    """encode_wav -> decode_wav recovers samples and rate exactly."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32767, size=2048, dtype=np.int16)
+    data = encode_wav(samples, rate=22050)
+    back, rate = decode_wav(data)
+    assert rate == 22050
+    assert (back == samples).all()
+
+
+def test_wav_decode_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from logminer_kafka_connect_spark.functions.media_codec import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros(16, dtype=np.int16))
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + good[4:])
+    with _pytest.raises(ValueError, match="length mismatch"):
+        decode_wav(good[:-4])
+    # stereo/8-bit fmt rejected explicitly
+    bad_fmt = bytearray(good)
+    bad_fmt[22] = 2  # channels = 2
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bytes(bad_fmt))
+
+
+def test_wav_decoder_features_match_signal_theory():
+    """wav_decoder's features come from the decoded waveform: a pure tone's
+    RMS is A/sqrt(2), its zero-crossing rate 2f/rate, its energy lands in
+    the band containing f, and the duration is n/rate exactly."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import encode_wav, wav_decoder
+
+    rate, f, n, amp = 8000, 440.0, 8000, 16000
+    t = np.arange(n) / rate
+    tone = (amp * np.sin(2 * np.pi * f * t)).astype(np.int16)
+    out = wav_decoder(encode_wav(tone, rate))
+    assert out["rate"] == rate and out["duration_s"] == 1.0
+    assert abs(out["rms"] - (amp / 32768.0) / np.sqrt(2)) < 1e-3
+    assert abs(out["zero_crossing_rate"] - 2 * f / rate) < 0.005
+    feat = out["feature"]
+    assert len(feat) == 16 and abs(sum(feat) - 1.0) < 1e-6
+    # 440 Hz of a 4 kHz Nyquist span, 16 bands of 250 Hz -> band 1
+    assert feat.index(max(feat)) == 1
+
+
+def test_wav_decoder_end_to_end_through_media_slot(spark, docs):
+    """The audio decoder runs through the same mapInPandas plumbing with
+    the audio feature schema, on honest generated WAVs."""
+    from logminer_kafka_connect_spark.functions.media_codec import decode_wav, wav_decoder
+    from logminer_kafka_connect_spark.operators.textops.multimodal import (
+        AUDIO_FEATURE_SCHEMA,
+        attach_wav_media_columns,
+        extract_media_features,
+    )
+
+    media = attach_wav_media_columns(docs.limit(12))
+    rows = {r["doc_id"]: r for r in media.collect()}
+    feats = extract_media_features(
+        media,
+        use_real_decoder=True,
+        decoder=wav_decoder,
+        feature_schema=AUDIO_FEATURE_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in feats.collect()}
+    assert set(out) == set(rows)
+    some_id = sorted(rows)[0]
+    samples, rate = decode_wav(bytes(rows[some_id]["media"]))
+    assert out[some_id]["rate"] == rate == 8000
+    assert out[some_id]["duration_s"] == round(len(samples) / rate, 6)
+    assert len(out[some_id]["feature"]) == 16
+    assert all(r["media_meta"]["media_type"] == "audio/wav" for r in rows.values())
