@@ -638,6 +638,7 @@ class ReplayDriver:
         full_log: DataFrame | None = None,
         max_files_per_trigger: int = 8,
         start_scn: int | None = None,
+        poll_interval_ms: int | None = None,
     ):
         """Structured Streaming front-end: the event directory is the
         unbounded source; each trigger applies exactly the commit/rollback
@@ -650,7 +651,12 @@ class ReplayDriver:
 
         Assumes the log is written in roughly SCN order (true for a CDC
         tail); DDL events are applied at their position within the trigger.
-        ``Trigger.AvailableNow`` drains the log and stops."""
+        ``Trigger.AvailableNow`` (default) drains the log and stops;
+        ``poll_interval_ms`` switches to a processing-time trigger that
+        keeps tailing the directory — the reference's poll loop
+        (``SourceTask.kt:140-146``, config ``poll.interval.ms``): an empty
+        poll waits that long before the next file listing. Stop with
+        ``query.stop()``."""
         from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA
 
         spark = self.spark
@@ -727,12 +733,14 @@ class ReplayDriver:
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(events_path)
         )
-        return (
-            stream.writeStream.foreachBatch(handle_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        writer = stream.writeStream.foreachBatch(handle_batch).option(
+            "checkpointLocation", checkpoint_dir
         )
+        if poll_interval_ms is not None:
+            writer = writer.trigger(processingTime=f"{int(poll_interval_ms)} milliseconds")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
 
 @dataclass

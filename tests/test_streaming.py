@@ -135,3 +135,64 @@ def test_stream_envelopes_sink(spark, tmpdir_path):
 
     # every delete has exactly one tombstone twin
     assert env.filter(F.col("op") == "t").count() == n_deletes
+
+
+def test_streaming_processing_time_tails_new_files(spark, tmpdir_path):
+    """poll.interval.ms semantics (SourceTask.kt:140-146): a processing-time
+    trigger keeps tailing the directory — files appended AFTER the stream
+    started are picked up without a restart, and the final state matches
+    the batch oracle. (availableNow would stop at the initial listing.)"""
+    import time as _time
+
+    from logminer_kafka_connect_spark.sources.events import EVENT_SCHEMA
+
+    cfg = GeneratorConfig(seed=53, n_txns=60, n_urls=100, n_snapshot=30)
+    gen = CdcGenerator(cfg)
+    ev = gen.events_pdf().sort_values(["scn", "row_id"]).reset_index(drop=True)
+    mid = int(ev["scn"].median())
+    events_path = os.path.join(tmpdir_path, "events")
+    os.makedirs(events_path, exist_ok=True)
+
+    def write_half(pdf, name, mtime):
+        sub = os.path.join(tmpdir_path, f"stage-{name}")
+        spark.createDataFrame(pdf, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(events_path, f"{name}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    write_half(ev[ev["scn"] <= mid], "half-a", now)
+
+    engine = CdcEngine(spark, tmpdir_path, n_buckets=8)
+    engine.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    q = engine.run_streaming(
+        events_path,
+        os.path.join(tmpdir_path, "ckpt"),
+        poll_interval_ms=300,
+    )
+    try:
+        # wait until the first half is applied (some txns straddle the cut:
+        # their changes hold back until the marker arrives in half B)
+        deadline = _time.time() + 240
+        while _time.time() < deadline and not engine.lineage.last_batch():
+            _time.sleep(2)
+        assert engine.lineage.last_batch(), "first half never applied"
+
+        write_half(ev[ev["scn"] > mid], "half-b", _time.time())
+        expected = gen.expected_final_state(include_snapshot=True)
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            state = engine.state().toPandas()
+            if len(state) == len(expected):
+                try:
+                    _assert_state_equal(state, expected)
+                    break
+                except AssertionError:
+                    pass
+            _time.sleep(2)
+        _assert_state_equal(engine.state().toPandas(), expected)
+    finally:
+        q.stop()
