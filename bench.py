@@ -491,14 +491,15 @@ def run_scaling(results: dict) -> dict:
         return s_[m] if len(s_) % 2 else (s_[m - 1] + s_[m]) / 2
 
     ladder_stats = {}
-    # selection: clamped efficiency first (>1.0 is noise, not merit — a
-    # contended N denominator can only inflate), then whether the
-    # denominator passed the absolute cross-gate (a fallback denominator
-    # is an inflated one by construction), then valid-pair count, then
-    # raw. Without this, a 2->8 ladder whose N draws were all contended
-    # (fallback denominator, raw 1.08) outranks an anchor ladder
-    # measuring a clean 1.003 with gate-valid samples on both levels.
-    best_lad, best_score = None, (-1.0, -1, -1, -1.0)
+    # selection: a gate-valid denominator outranks EVERYTHING (a fallback
+    # denominator is contended, and a contended denominator can only
+    # inflate the ratio — a fabricated 1.26 must not beat an honest
+    # 0.87); then clamped efficiency (>1.0 is noise, not merit), then
+    # valid-pair count, then raw. Both orderings were hit live: one
+    # rehearsal's corroboration ladder recorded raw 1.08 (fallback) next
+    # to a clean 1.003 anchor, another recorded raw 1.256 (fallback) next
+    # to a clean 0.870 anchor.
+    best_lad, best_score = None, (-1, -1.0, -1, -1.0)
     for lad in ladders:
         if not runs[lad][lad[0]] or not runs[lad][lad[1]]:
             continue
@@ -531,7 +532,7 @@ def run_scaling(results: dict) -> dict:
                 for k, v in runs[lad].items()
             },
         }
-        score = (min(eff, 1.0), 1 if n_for_ratio(lad) else 0, len(vp), eff)
+        score = (1 if n_for_ratio(lad) else 0, min(eff, 1.0), len(vp), eff)
         if score > best_score:
             best_lad, best_score = lad, score
 

@@ -164,10 +164,14 @@ def test_all_rejected_n_level_falls_back_not_zero(scaling_env):
     scaling_env(script)
     out = bench.run_scaling({})
     assert out["scaling_efficiency"] > 0  # the regression: was 0.000
-    assert out["scaling_efficiency"] == 1.0  # clamped headline
-    assert out["scaling_efficiency_raw"] == pytest.approx(20489 / 5114 / 4, abs=0.002)
-    assert out["scaling_ladder"] == "1->4"
-    assert out["n_valid_pairs"] >= 2
+    # the anchor's fallback ratio is recorded in its ladder stats...
+    assert out["ladders"]["1->4"]["scaling_efficiency"] == pytest.approx(
+        20489 / 5114 / 4, abs=0.002
+    )
+    # ...but the headline comes from the gate-clean 2->8 ladder (a
+    # fallback denominator never outranks a gate-valid one)
+    assert out["scaling_ladder"] == "2->8"
+    assert out["scaling_efficiency"] == pytest.approx(31000 / 9500 / 4, abs=0.002)
 
 
 def test_ladder_selection_prefers_gate_clean_over_inflated_raw(scaling_env):
@@ -191,3 +195,26 @@ def test_ladder_selection_prefers_gate_clean_over_inflated_raw(scaling_env):
     assert out["scaling_ladder"] == "1->4"
     assert out["scaling_efficiency"] == 1.0
     assert out["scaling_efficiency_raw"] == pytest.approx(1.0, abs=0.001)
+
+
+def test_gate_clean_anchor_beats_fallback_ladder_even_when_lower(scaling_env):
+    # Live case two: anchor measures an honest, gate-valid 0.87; the
+    # corroboration ladder's 2-cpu draws are contended (fallback
+    # denominator) and its raw ratio comes out 1.26 -> clamped 1.0.
+    # A fabricated 1.0 must not beat an honest 0.87.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 1:
+            return 6200, 450
+        if n_cpus == 4:
+            return 21600, 520
+        if n_cpus == 2:
+            return 7700, 730  # contended
+        if n_cpus == 8:
+            return 38700, 548
+        return 24000, 3000
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_ladder"] == "1->4"
+    assert out["scaling_efficiency_raw"] == pytest.approx(21600 / 6200 / 4, abs=0.001)
+    assert out["scaling_efficiency"] == pytest.approx(0.871, abs=0.001)
