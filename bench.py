@@ -41,6 +41,16 @@ engine demonstrably meets, each time from too few / contaminated samples):
   tree-CPU exceeds the level's own minimum by >15% is marked invalid and
   excluded from the estimators (it still ships in the JSON) — the budget
   then buys a redraw instead of a falsely-low best-of.
+- **Occupancy rejection (round 5)**: the CPU gate is blind to hypervisor
+  steal — a stolen window stops the guest's utime/stime clocks, so the
+  draw wall-stalls with DEFLATED CPU and passes every inflation gate
+  (the r4 artifact's 1-core anchors: 58% occupancy, raw ratio 1.496,
+  physically impossible). Every worker now reports occupancy
+  (tree_cpu_s / wall / pinned_cores) plus per-core steal/iowait fractions
+  from /proc/stat; ladder draws below OCC_FLOOR (0.85; quiet draws
+  measure 0.91-0.97) are rejected exactly like CPU-inflated ones, with
+  the same floor-relative fallback so an all-rejected level records its
+  degraded best rather than 0.
 - **Input sized to the budget**: the r3 run grew the input 2.5x and the
   fixed budget then afforded only 2 N-samples. Default back to the 720k-
   txn input (2.88M change events — large enough that the ratio survives
@@ -73,6 +83,13 @@ BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2"))
 #: a sample whose tree-CPU exceeds the level's minimum by more than this
 #: is a contended draw — excluded from estimators, budget buys a redraw
 CPU_INFLATION_TOL = 1.15
+#: a sample whose pinned-core occupancy (tree_cpu_s / wall / cores) falls
+#: below this is a WALL-STALLED draw — the round-4 blind spot: hypervisor
+#: steal stops the guest's utime/stime clocks, so a stolen window DEFLATES
+#: CPU (which the inflation gate can't see) while inflating wall. The r4
+#: artifact's 1-core anchors ran at 58% occupancy and produced a
+#: physically-impossible raw ratio of 1.496; quiet draws measure 91-97%.
+OCC_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_OCC_FLOOR", "0.85"))
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -184,23 +201,34 @@ def _replay_once(
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", cores] + cmd
     env = dict(os.environ)
+    env["LMKC_CORES"] = cores  # worker reports occupancy/steal over these
     if tracking:
         env["LMKC_TRACKING"] = "1"
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     r = json.loads(line)
     cpu = r.get("tree_cpu_s")
+    occ = r.get("occupancy")
+    steal = r.get("steal_frac")
     print(
         f"# replay {n_cpus}cpu[{cores}]{' tracked' if tracking else ''}: "
         f"{r['wall_s']}s, {r['net_rows']} net rows, "
         f"{r['events_per_sec']:.0f} events/s"
-        + (f", {cpu:.0f} cpu-s" if cpu is not None else ""),
+        + (f", {cpu:.0f} cpu-s" if cpu is not None else "")
+        + (f", occ {occ:.2f}" if occ is not None else "")
+        + (f", steal {steal:.2f}" if steal else ""),
         file=sys.stderr,
     )
-    return {"eps": float(r["events_per_sec"]), "cpu": cpu, "cores": cores}
+    return {
+        "eps": float(r["events_per_sec"]),
+        "cpu": cpu,
+        "cores": cores,
+        "occ": occ,
+        "steal": steal,
+    }
 
 
-def _valid(samples: list[dict]) -> list[dict]:
+def _valid_cpu(samples: list[dict]) -> list[dict]:
     """Samples not rejected by the CPU-inflation gate (relative to the
     level's own quietest draw; all valid if CPU stats are unavailable)."""
     cpus = [s["cpu"] for s in samples if s.get("cpu")]
@@ -208,6 +236,23 @@ def _valid(samples: list[dict]) -> list[dict]:
         return list(samples)
     floor = min(cpus)
     return [s for s in samples if s.get("cpu") and s["cpu"] <= floor * CPU_INFLATION_TOL]
+
+
+def _valid(samples: list[dict]) -> list[dict]:
+    """CPU-inflation gate AND occupancy gate. The two reject opposite
+    contention modes: co-tenant cache/CPU pressure inflates tree-CPU for
+    the same work (caught by the floor-relative CPU gate), hypervisor
+    steal stalls wall while tree-CPU clocks stop (caught only by
+    occupancy < OCC_FLOOR — the r4 artifact's 58%-occupancy anchors
+    passed every CPU gate and recorded raw 1.496). A sample without an
+    occupancy reading passes the occupancy gate (older fakes/tests).
+
+    Order matters: the occupancy gate runs FIRST so the CPU-inflation
+    floor is computed over non-stalled draws only — a stalled draw's
+    DEFLATED cpu (r4: 404 cpu-s stalled vs 444+ quiet) would otherwise
+    set a floor that rejects every honest quiet redraw."""
+    occ_ok = [s for s in samples if s.get("occ") is None or s["occ"] >= OCC_FLOOR]
+    return _valid_cpu(occ_ok)
 
 
 def run_scaling(results: dict) -> dict:
@@ -326,9 +371,12 @@ def run_scaling(results: dict) -> dict:
         # a mildly CPU-inflated N window sits under quieter 4N draws
         # (observed: N draws at 540/543 cpu-s vs a 512 cpu-s 4N draw ->
         # 1.05x gate rejects every N sample); the resulting ratio can only
-        # err HIGH, which the headline clamp at 1.0 already bounds.
-        a = n_for_ratio(lad) or _valid(runs[lad][lad[0]])
-        b = valid_hi(lad) or _valid(runs[lad][lad[1]])
+        # err HIGH, which the headline clamp at 1.0 already bounds. The
+        # final _valid_cpu tier covers an occupancy-gate-emptied level
+        # (every draw wall-stalled): N-side fallback errs HIGH (clamped),
+        # 4N-side errs LOW (honest degraded).
+        a = n_for_ratio(lad) or _valid(runs[lad][lad[0]]) or _valid_cpu(runs[lad][lad[0]])
+        b = valid_hi(lad) or _valid(runs[lad][lad[1]]) or _valid_cpu(runs[lad][lad[1]])
         if not a or not b:
             return 0.0
         return (max(s["eps"] for s in b) / max(s["eps"] for s in a)) / (lad[1] / lad[0])
@@ -503,8 +551,13 @@ def run_scaling(results: dict) -> dict:
     for lad in ladders:
         if not runs[lad][lad[0]] or not runs[lad][lad[1]]:
             continue
-        vn = _valid(runs[lad][lad[0]]) or runs[lad][lad[0]]
-        v4 = valid_hi(lad) or _valid(runs[lad][lad[1]]) or runs[lad][lad[1]]
+        vn = _valid(runs[lad][lad[0]]) or _valid_cpu(runs[lad][lad[0]]) or runs[lad][lad[0]]
+        v4 = (
+            valid_hi(lad)
+            or _valid(runs[lad][lad[1]])
+            or _valid_cpu(runs[lad][lad[1]])
+            or runs[lad][lad[1]]
+        )
         eff = eff_of(lad)
         vp = valid_pairs_of(lad)
         pr = sorted(p["ratio"] for p in (vp or pairs[lad]))
@@ -526,7 +579,13 @@ def run_scaling(results: dict) -> dict:
             },
             "all_runs": {
                 str(k): [
-                    {"eps": round(s_["eps"], 1), "cpu_s": s_["cpu"], "cores": s_["cores"]}
+                    {
+                        "eps": round(s_["eps"], 1),
+                        "cpu_s": s_["cpu"],
+                        "cores": s_["cores"],
+                        "occ": s_.get("occ"),
+                        "steal": s_.get("steal"),
+                    }
                     for s_ in v
                 ]
                 for k, v in runs[lad].items()
@@ -537,29 +596,69 @@ def run_scaling(results: dict) -> dict:
             best_lad, best_score = lad, score
 
     lvl_n, lvl_4n = best_lad
-    eps_n = max(s["eps"] for s in (_valid(runs[best_lad][lvl_n]) or runs[best_lad][lvl_n]))
+    eps_n = max(
+        s["eps"]
+        for s in (
+            _valid(runs[best_lad][lvl_n])
+            or _valid_cpu(runs[best_lad][lvl_n])
+            or runs[best_lad][lvl_n]
+        )
+    )
     eps_4n = max(
         s["eps"]
         for s in (
             valid_hi(best_lad)
             or _valid(runs[best_lad][lvl_4n])
+            or _valid_cpu(runs[best_lad][lvl_4n])
             or runs[best_lad][lvl_4n]
         )
     )
 
     # local[CPUS] and tracked runs are single tail draws in the most
-    # contention-exposed configurations; give each a best-of-2 when the
-    # sampling budget left room (r3 shipped a contended single draw).
-    def best_of(run_fn) -> float:
-        t0 = time.time()
-        first = run_fn()
-        draw_wall = time.time() - t0  # full subprocess incl. warmup
-        if time.time() - t_start + draw_wall * 1.2 < budget_s:
-            return max(first["eps"], run_fn()["eps"])
-        return first["eps"]
+    # contention-exposed configurations — contention-burned in the r3 AND
+    # r4 artifacts (r4 VERDICT Next #3). Gate them like the ladder levels:
+    # draw until two gate-valid draws agree within 10% (max 3, budget
+    # permitting), record the best valid draw, and mark the level
+    # `contended` when agreement was never reached. The occupancy gate is
+    # LEVEL-RELATIVE here (>= 0.9x the level's own best occupancy):
+    # local[32] is structurally L3-bound at ~0.6-0.7 absolute occupancy
+    # even on a quiet host, so the ladder's absolute OCC_FLOOR would
+    # reject every draw.
+    def _tail_valid(draws: list[dict]) -> list[dict]:
+        v = _valid_cpu(draws)
+        occs = [s["occ"] for s in v if s.get("occ")]
+        if not occs:
+            return v
+        cap = max(occs) * 0.9
+        return [s for s in v if s.get("occ") and s["occ"] >= cap]
 
-    eps_full = best_of(
-        lambda: _replay_once(CPUS, events_path, snap_path, n_events)
+    def gated_tail(run_fn, label: str) -> tuple[float, list[dict], bool]:
+        draws: list[dict] = []
+
+        def agreed() -> bool:
+            v = _tail_valid(draws)
+            if len(v) < 2:
+                return False
+            xs = sorted((s["eps"] for s in v), reverse=True)
+            return (xs[0] - xs[1]) / xs[0] <= 0.10
+
+        t0 = time.time()
+        draws.append(run_fn())
+        draw_wall = time.time() - t0
+        while (
+            len(draws) < 3
+            and not agreed()
+            and time.time() - t_start + draw_wall * 1.2 < budget_s
+        ):
+            draws.append(run_fn())
+        best = max(_tail_valid(draws) or draws, key=lambda s_: s_["eps"])
+        contended = not agreed()
+        if contended:
+            print(f"# tail {label}: CONTENDED (no two agreeing draws)", file=sys.stderr)
+        return best["eps"], draws, contended
+
+    eps_full, full_draws, full_contended = gated_tail(
+        lambda: _replay_once(CPUS, events_path, snap_path, n_events), f"local{CPUS}"
     )
     # one run with lineage/watermark/parse-error bookkeeping ON — the
     # production configuration's throughput next to the steady-state
@@ -567,10 +666,11 @@ def run_scaling(results: dict) -> dict:
     # for continuity with the r2/r3 records
     n4p = secondary[1]
     s = n4p  # block 1 of the secondary width
-    eps_tracked = best_of(
+    eps_tracked, tracked_draws, tracked_contended = gated_tail(
         lambda: _replay_once(
             n4p, events_path, snap_path, n_events, f"{s}-{s + n4p - 1}", tracking=True
-        )
+        ),
+        f"tracked{n4p}",
     )
     results[f"cdc_replay_N{lvl_n}"] = round(n_events / eps_n, 3)
     results[f"cdc_replay_4N{lvl_4n}"] = round(n_events / eps_4n, 3)
@@ -583,6 +683,22 @@ def run_scaling(results: dict) -> dict:
         f"events_per_sec_4N{lvl_4n}": round(eps_4n, 1),
         f"events_per_sec_local{CPUS}": round(eps_full, 1),
         f"events_per_sec_4N{n4p}_tracked": round(eps_tracked, 1),
+        "tail_runs": {
+            f"local{CPUS}": {
+                "contended": full_contended,
+                "draws": [
+                    {"eps": round(d["eps"], 1), "cpu_s": d["cpu"], "occ": d.get("occ")}
+                    for d in full_draws
+                ],
+            },
+            f"tracked{n4p}": {
+                "contended": tracked_contended,
+                "draws": [
+                    {"eps": round(d["eps"], 1), "cpu_s": d["cpu"], "occ": d.get("occ")}
+                    for d in tracked_draws
+                ],
+            },
+        },
         "ladders": ladder_stats,
         # >1.0 on a fixed workload is measurement noise in the engine's
         # favor (the N anchor drew a slightly-contended window); clamp the

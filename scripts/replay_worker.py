@@ -51,6 +51,43 @@ def _tree_cpu_s() -> float:
     return total
 
 
+def _parse_cores(spec: str) -> list[int]:
+    """taskset -c spec ("3", "0-3", "0-1,4-5") -> core id list."""
+    out: list[int] = []
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+def _core_stat(cores: list[int]) -> dict[int, tuple[float, float, float]]:
+    """Per-core (steal_s, iowait_s, idle_s) from /proc/stat for the pinned
+    cores. Hypervisor steal is the one contention mode tree-CPU accounting
+    CANNOT see: the guest's utime/stime clocks stop while the host runs a
+    co-tenant, so a stolen window shows up as wall-stall (low occupancy),
+    not CPU inflation — the round-4 artifact's 58%-occupancy 1-core
+    anchors. Reporting steal directly names the cause."""
+    hz = os.sysconf("SC_CLK_TCK")
+    out = {}
+    try:
+        for line in open("/proc/stat"):
+            if not line.startswith("cpu"):
+                continue
+            f = line.split()
+            if f[0] == "cpu":
+                continue
+            cid = int(f[0][3:])
+            if cid in cores:
+                # user nice system idle iowait irq softirq steal
+                out[cid] = (int(f[8]) / hz, int(f[5]) / hz, int(f[4]) / hz)
+    except Exception:
+        pass
+    return out
+
+
 def main():
     n_cpus, events_path, snap_path, n_events = (
         int(sys.argv[1]),
@@ -160,7 +197,9 @@ def main():
         # same work — host-noise profile, BASELINE.md). LMKC_CPUSTAT=0
         # disables the /proc walk.
         cpustat = os.environ.get("LMKC_CPUSTAT", "1") != "0"
+        pinned = _parse_cores(os.environ["LMKC_CORES"]) if os.environ.get("LMKC_CORES") else []
         cpu0 = _tree_cpu_s() if cpustat else 0.0
+        stat0 = _core_stat(pinned) if pinned else {}
         t0 = time.time()
         stats = engine.replay(events, n_batches=1)
         wall = time.time() - t0
@@ -170,7 +209,24 @@ def main():
             "net_rows": stats.n_events_applied,
         }
         if cpustat:
-            out["tree_cpu_s"] = round(_tree_cpu_s() - cpu0, 1)
+            cpu = _tree_cpu_s() - cpu0
+            out["tree_cpu_s"] = round(cpu, 1)
+            # occupancy over the pinned cores (falling back to n_cpus when
+            # unpinned): the round-4 estimator blind spot — a wall-stalled
+            # draw DEFLATES cpu, which the inflation gate cannot see
+            ncores = len(pinned) or n_cpus
+            out["occupancy"] = round(cpu / (wall * ncores), 3)
+        if stat0:
+            stat1 = _core_stat(pinned)
+            agg = [0.0, 0.0, 0.0]
+            for cid, a in stat0.items():
+                b = stat1.get(cid, a)
+                for k in range(3):
+                    agg[k] += b[k] - a[k]
+            denom = wall * max(1, len(pinned))
+            out["steal_frac"] = round(agg[0] / denom, 3)
+            out["iowait_frac"] = round(agg[1] / denom, 3)
+            out["idle_frac"] = round(agg[2] / denom, 3)
         print(json.dumps(out))
     finally:
         spark.stop()

@@ -39,8 +39,9 @@ def scaling_env(monkeypatch, tmp_path):
 
     def install(script):
         """script(n_cpus, call_index_for_that_cpu_level, tracking) ->
-        (eps, cpu_s). Thread-safe per-level call counter (the N lane's
-        draws run concurrently through a ThreadPoolExecutor)."""
+        (eps, cpu_s) or (eps, cpu_s, occupancy). Thread-safe per-level
+        call counter (the N lane's draws run concurrently through a
+        ThreadPoolExecutor)."""
         lock = threading.Lock()
         calls: dict = {}
 
@@ -48,8 +49,15 @@ def scaling_env(monkeypatch, tmp_path):
             with lock:
                 i = calls.get((n_cpus, tracking), 0)
                 calls[(n_cpus, tracking)] = i + 1
-            eps, cpu = script(n_cpus, i, tracking)
-            return {"eps": float(eps), "cpu": float(cpu), "cores": cores or f"0-{n_cpus - 1}"}
+            r = script(n_cpus, i, tracking)
+            eps, cpu = r[0], r[1]
+            occ = r[2] if len(r) > 2 else None
+            return {
+                "eps": float(eps),
+                "cpu": float(cpu),
+                "cores": cores or f"0-{n_cpus - 1}",
+                "occ": occ,
+            }
 
         monkeypatch.setattr(bench, "_replay_once", fake)
         return calls
@@ -195,6 +203,72 @@ def test_ladder_selection_prefers_gate_clean_over_inflated_raw(scaling_env):
     assert out["scaling_ladder"] == "1->4"
     assert out["scaling_efficiency"] == 1.0
     assert out["scaling_efficiency_raw"] == pytest.approx(1.0, abs=0.001)
+
+
+def test_stalled_n_anchor_rejected_by_occupancy_gate(scaling_env):
+    # The round-4 recorded artifact, replayed as a script: both round-0
+    # 1-core draws wall-stall at 58% occupancy with DEFLATED cpu (404
+    # cpu-s vs the 470 quiet cost) — they pass every CPU gate and would
+    # record raw eff 17200/4119/4 = 1.044. The occupancy gate must reject
+    # them, NOT let their deflated cpu poison the inflation floor for the
+    # quiet redraws, and anchor the ratio on the redraws instead.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 1:
+            return (4119, 404, 0.58) if i < 2 else (5000, 470, 0.96)
+        if n_cpus == 4:
+            return 17200, 520, 0.95
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_ladder"] == "1->4"
+    assert out["events_per_sec_N1"] == 5000
+    assert out["scaling_efficiency"] == pytest.approx(0.86, abs=0.001)
+    lad = out["ladders"]["1->4"]
+    assert lad["valid_samples"]["1"] == 2  # stalled draws excluded
+    assert len(lad["all_runs"]["1"]) == 4  # ...but kept in the audit trail
+    assert any(r["occ"] == 0.58 for r in lad["all_runs"]["1"])
+
+
+def test_all_stalled_n_level_falls_back_and_clamp_bounds_it(scaling_env):
+    # EVERY 1-core draw stalled: the occupancy gate empties the level, the
+    # cpu-only fallback records the degraded best (raw errs HIGH), and the
+    # headline clamp bounds the claim at 1.0 with the raw ratio kept.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 1:
+            return 4000, 404, 0.58
+        if n_cpus == 4:
+            return 17200, 520, 0.95
+        if n_cpus == 2:
+            return 7000, 700, 0.55  # secondary ladder equally stalled
+        if n_cpus == 8:
+            return 24000, 1100, 0.60
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["scaling_efficiency"] == 1.0
+    assert out["ladders"]["1->4"]["scaling_efficiency"] == pytest.approx(1.075, abs=0.001)
+
+
+def test_tail_runs_gated_and_contended_flagged(scaling_env):
+    # local[32] draws: a contended first draw, then two agreeing quiet
+    # draws -> recorded value is the agreeing best, contended=False.
+    # tracked-8 draws never agree within 10% -> contended=True.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 32:
+            return [(19000, 4500, 0.5), (33000, 1900, 0.68), (32500, 1950, 0.67)][i % 3]
+        if tracking and n_cpus == 8:
+            return [(20000, 900, 0.7), (30000, 600, 0.9), (36000, 560, 0.95)][i % 3]
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["events_per_sec_local32"] == 33000
+    assert out["tail_runs"]["local32"]["contended"] is False
+    assert len(out["tail_runs"]["local32"]["draws"]) == 3
+    assert out["events_per_sec_4N8_tracked"] == 36000
+    assert out["tail_runs"]["tracked8"]["contended"] is True
 
 
 def test_gate_clean_anchor_beats_fallback_ladder_even_when_lower(scaling_env):
