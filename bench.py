@@ -187,11 +187,14 @@ def _replay_once(
     n_events: int,
     cores: str | None = None,
     tracking: bool = False,
+    master: str | None = None,
 ) -> dict:
     """One cold end-to-end replay in a subprocess pinned to exactly
     ``cores`` (taskset) — JVM task/GC threads AND pandas-UDF Python
     workers included, which ``local[N]`` alone does not bound. Returns
-    {"eps": events/sec, "cpu": tree CPU seconds (or None), "cores": ...}."""
+    {"eps": events/sec, "cpu": tree CPU seconds (or None), "cores": ...}.
+    ``master`` overrides the worker's local[N] (e.g. local-cluster[4,1,m]
+    for the multi-JVM evidence line)."""
     import subprocess
 
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "replay_worker.py")
@@ -202,6 +205,8 @@ def _replay_once(
         cmd = ["taskset", "-c", cores] + cmd
     env = dict(os.environ)
     env["LMKC_CORES"] = cores  # worker reports occupancy/steal over these
+    if master:
+        env["LMKC_MASTER"] = master
     if tracking:
         env["LMKC_TRACKING"] = "1"
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
@@ -672,9 +677,36 @@ def run_scaling(results: dict) -> dict:
         ),
         f"tracked{n4p}",
     )
+
+    # Multi-JVM evidence (r4 VERDICT Next #2): everything above shares one
+    # local-mode JVM; this line replays the same input under a REAL
+    # local-cluster master — one driver + 4 separate 1-core executor JVMs
+    # on the same 4-core pin as the anchor ladder's high level, so
+    # broadcast / accumulator merge / shuffle serde cross actual process
+    # boundaries and the number is directly comparable to local[4]
+    # (done-bar: within ~1.3x). One redraw if the first draw wall-stalls.
+    clu_cores = "4-7"
+    clu = _replay_once(
+        4, events_path, snap_path, n_events, clu_cores,
+        master="local-cluster[4,1,8192]",
+    )
+    if (
+        clu.get("occ") is not None
+        and clu["occ"] < OCC_FLOOR
+        and time.time() - t_start < budget_s * 1.2
+    ):
+        redraw = _replay_once(
+            4, events_path, snap_path, n_events, clu_cores,
+            master="local-cluster[4,1,8192]",
+        )
+        if redraw["eps"] > clu["eps"]:
+            clu = redraw
+    local4 = [s_ for s_ in runs.get(anchor, {}).get(4, []) if s_.get("eps")]
+    clu_vs_local = round(clu["eps"] / max(s_["eps"] for s_ in local4), 3) if local4 else None
     results[f"cdc_replay_N{lvl_n}"] = round(n_events / eps_n, 3)
     results[f"cdc_replay_4N{lvl_4n}"] = round(n_events / eps_4n, 3)
     results[f"cdc_replay_local{CPUS}"] = round(n_events / eps_full, 3)
+    results["cdc_replay_cluster4"] = round(n_events / clu["eps"], 3)
     return {
         "n_change_events": n_events,
         "parallelism_N": lvl_n,
@@ -683,6 +715,13 @@ def run_scaling(results: dict) -> dict:
         f"events_per_sec_4N{lvl_4n}": round(eps_4n, 1),
         f"events_per_sec_local{CPUS}": round(eps_full, 1),
         f"events_per_sec_4N{n4p}_tracked": round(eps_tracked, 1),
+        "cdc_replay_cluster": {
+            "master": "local-cluster[4,1,8192]",
+            "events_per_sec": round(clu["eps"], 1),
+            "cpu_s": clu["cpu"],
+            "occ": clu.get("occ"),
+            "vs_local4_ratio": clu_vs_local,
+        },
         "tail_runs": {
             f"local{CPUS}": {
                 "contended": full_contended,

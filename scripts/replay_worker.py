@@ -124,11 +124,26 @@ def main():
         if os.environ.get("LMKC_GCLOG"):
             opts += " -Xlog:gc:" + os.environ["LMKC_GCLOG"]
         extra["spark.driver.extraJavaOptions"] = opts
+    # LMKC_MASTER=local-cluster[E,C,MB]: multi-JVM evidence — one driver +
+    # E separate executor JVMs with real broadcast / accumulator / shuffle
+    # serde across process boundaries (everything else on this host shares
+    # one local-mode JVM). Executors' Python workers import the package
+    # from the repo checkout (same-host analog of --py-files shipping).
+    master = os.environ.get("LMKC_MASTER", f"local[{n_cpus}]")
+    driver_mem = "48g"
+    if master.startswith("local-cluster"):
+        e, c, mb = master[len("local-cluster[") : -1].split(",")
+        extra["spark.executor.memory"] = f"{int(mb)}m"
+        extra["spark.executor.cores"] = c
+        extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        driver_mem = "8g"  # executors hold the task heaps in this mode
     spark = get_spark(
         app_name=f"replay-{n_cpus}cpu",
-        master=f"local[{n_cpus}]",
+        master=master,
         shuffle_partitions=int(os.environ.get("LMKC_SHUFFLE", str(n_cpus))),
-        driver_memory="48g",
+        driver_memory=driver_mem,
         extra_conf=extra,
     )
     workdir = tempfile.mkdtemp(prefix="lmkc-replayw-")

@@ -45,10 +45,12 @@ def scaling_env(monkeypatch, tmp_path):
         lock = threading.Lock()
         calls: dict = {}
 
-        def fake(n_cpus, events_path, snap_path, n_events, cores=None, tracking=False):
+        def fake(
+            n_cpus, events_path, snap_path, n_events, cores=None, tracking=False, master=None
+        ):
             with lock:
-                i = calls.get((n_cpus, tracking), 0)
-                calls[(n_cpus, tracking)] = i + 1
+                i = calls.get((n_cpus, tracking, master), 0)
+                calls[(n_cpus, tracking, master)] = i + 1
             r = script(n_cpus, i, tracking)
             eps, cpu = r[0], r[1]
             occ = r[2] if len(r) > 2 else None
@@ -86,6 +88,10 @@ def test_quiet_host_converges_and_records(scaling_env):
     # tail runs recorded through the same fake
     assert out["events_per_sec_local32"] == 24000
     assert results["cdc_replay_N1"] == pytest.approx(1000000 / 5000, abs=0.01)
+    # multi-JVM line: same fake 4-core draw, compared against local[4]
+    assert out["cdc_replay_cluster"]["events_per_sec"] == 17200
+    assert out["cdc_replay_cluster"]["vs_local4_ratio"] == pytest.approx(1.0, abs=0.001)
+    assert out["cdc_replay_cluster"]["master"] == "local-cluster[4,1,8192]"
 
 
 def test_superlinear_ratio_is_clamped_raw_kept(scaling_env):
