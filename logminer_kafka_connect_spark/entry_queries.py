@@ -852,6 +852,24 @@ def a08(spark, sf_dir):
     )
 
 
+@_q("a08s_value_percentiles_sketch")
+def a08s(spark, sf_dir):
+    """Sketch-path percentiles — the operator a 100-TB pipeline actually
+    runs. `approx_percentile` (KLL/Greenwald-Khanna family) is
+    partial-aggregable: each partition folds its values into a bounded
+    sketch, sketches merge map-side, and only O(accuracy) state crosses
+    the shuffle — vs the exact `a08`'s full per-group value shuffle.
+    Rows-only entry (the sketch's rank-error guarantee is not bit-
+    reproducible in DuckDB); accuracy is pinned vs the exact `a08` in
+    tests/test_round5.py (|sketch - exact| <= 1% of the per-group value
+    range at accuracy=10000)."""
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 6).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 6).alias("p99"),
+    )
+
+
 @_q(
     "w26_event_windows",
     """
@@ -872,6 +890,43 @@ def w26(spark, sf_dir):
     from logminer_kafka_connect_spark.streaming.windows import windowed_event_stats
 
     return windowed_event_stats(t(spark, sf_dir, "events"))
+
+
+@_q(
+    "w27_session_windows",
+    """
+    WITH o AS (
+      SELECT event_type, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT min(ts)                          AS session_start,
+           max(ts) + INTERVAL '30 minutes'  AS session_end,
+           event_type,
+           count(*)                         AS n_events,
+           round(sum(value), 4)             AS sum_value
+    FROM s GROUP BY event_type, sid
+    """,
+)
+def w27(spark, sf_dir):
+    """Gap-based session windows (F.session_window): a session per
+    event_type extends while consecutive events arrive <= 30 min apart
+    (merge is inclusive at exactly the gap — measured on Spark 4.1 and
+    pinned in tests/test_windows.py) and closes at last_ts + gap. The
+    oracle is the classic lag/gap-sum sessionization (break when the gap
+    to the previous event EXCEEDS the gap duration, cumulative-sum the
+    breaks into session ids)."""
+    from logminer_kafka_connect_spark.streaming.windows import session_event_stats
+
+    return session_event_stats(t(spark, sf_dir, "events"), gap="30 minutes")
 
 
 # --------------------------------------------------------------------------

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from logminer_kafka_connect_spark.streaming.windows import (
     run_windowed_stats_to_memory,
+    session_event_stats,
     windowed_event_stats,
 )
 
@@ -155,6 +156,64 @@ def test_streaming_plan_is_stateful_event_time(spark, tmpdir_path):
     assert "EventTimeWatermark" in plan
 
 
+def test_batch_session_handcrafted_and_gap_boundary(spark):
+    """Session semantics incl. the exact-gap boundary: Spark 4.1 MERGES an
+    event landing precisely at prev_ts + gap (measured; the w27 oracle's
+    break condition is therefore strictly-greater-than). Sessions close at
+    last_ts + gap; groups sessionize independently."""
+    rows = [
+        _ev(0), _ev(30), _ev(45),      # 30 == gap exactly -> all one session
+        _ev(76),                        # 31 > gap -> new session
+        _ev(0, "view", 10.0), _ev(120, "view", 5.0),  # separate group, 2 sessions
+    ]
+    out = session_event_stats(
+        spark.createDataFrame(rows, SCHEMA), gap="30 minutes"
+    ).collect()
+    by = {(r["session_start"], r["event_type"]): r for r in out}
+    s0 = by[(T0, "click")]
+    assert s0["n_events"] == 3 and s0["session_end"] == T0 + timedelta(minutes=75)
+    s1 = by[(T0 + timedelta(minutes=76), "click")]
+    assert s1["n_events"] == 1 and s1["session_end"] == T0 + timedelta(minutes=106)
+    assert by[(T0, "view")]["n_events"] == 1
+    assert by[(T0 + timedelta(minutes=120), "view")]["sum_value"] == 5.0
+    assert len(out) == 4
+
+
+def test_streaming_sessions_match_batch_for_finalized(spark, tmpdir_path):
+    """Append-mode sessionization emits a session only once the watermark
+    passes last_ts + gap (a session's end MOVES while events arrive, so
+    finalization must wait for the gap to provably close); values equal
+    the batch twin's."""
+    batches = [
+        [_ev(1), _ev(10), _ev(2, "view", 5.0)],
+        [_ev(20), _ev(90)],  # 20 extends the first session; 90 starts another
+        [_ev(600)],  # advances watermark far past everything before it
+    ]
+    d = os.path.join(tmpdir_path, "sess")
+    _write_trigger_files(spark, d, batches)
+    schema = spark.createDataFrame([_ev(0)], SCHEMA).schema
+    got = run_windowed_stats_to_memory(
+        spark, d, schema, name="w_sess", max_files=1,
+        agg_fn=session_event_stats, gap="30 minutes", watermark="10 minutes",
+    ).collect()
+    all_rows = [r for rows in batches for r in rows]
+    batch = session_event_stats(
+        spark.createDataFrame(all_rows, SCHEMA), gap="30 minutes"
+    ).collect()
+    # final watermark = 10:00 - 10min => everything but the 600' session final
+    finalized = {
+        (r["session_start"], r["event_type"]): tuple(r)
+        for r in batch
+        if r["session_end"] <= T0 + timedelta(minutes=590)
+    }
+    assert {(r["session_start"], r["event_type"]): tuple(r) for r in got} == finalized
+    by = {(r["session_start"], r["event_type"]): r for r in got}
+    s0 = by[(T0 + timedelta(minutes=1), "click")]
+    # events at 1,10,20 merged ACROSS triggers (state carried the open
+    # session over the trigger boundary), closed at 20+30
+    assert s0["n_events"] == 3 and s0["session_end"] == T0 + timedelta(minutes=50)
+
+
 def test_w26_matches_duckdb_oracle(spark):
     import duckdb
 
@@ -165,4 +224,19 @@ def test_w26_matches_duckdb_oracle(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     exp = sorted(map(tuple, con.execute(ORACLES["w26_event_windows"]).fetchall()))
+    assert got == exp and len(got) > 100
+
+
+def test_w27_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from logminer_kafka_connect_spark.entry_queries import ORACLES, QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in QUERIES["w27_session_windows"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    exp = sorted(map(tuple, con.execute(ORACLES["w27_session_windows"]).fetchall()))
     assert got == exp and len(got) > 100
