@@ -970,10 +970,13 @@ def cdc_replay(spark, sf_dir):
 def cdc_table_changes(spark, sf_dir):
     """Changelog surface: replay a deterministic CDC log into the lake
     table, then read_changes between the last two versions — the
-    incremental diff a downstream consumer polls. Rows-only (the diff is
-    over the engine's own versioned table, not a testdata table);
-    semantics pinned vs a brute state-diff oracle in
-    tests/test_table_changes.py."""
+    incremental diff a downstream consumer polls. Rows-only in DuckDB
+    terms (the diff is over the engine's own versioned table, not a
+    testdata table) but SELF-VERIFYING (r4 VERDICT Next #6): before
+    returning, the entry recomputes the expected changes as an
+    independent brute diff of the two full snapshots and raises on any
+    mismatch — the same oracle as tests/test_table_changes.py, now run
+    by the entry harness itself on every driver invocation."""
     import tempfile
 
     from logminer_kafka_connect_spark.engine import CdcEngine
@@ -994,12 +997,41 @@ def cdc_table_changes(spark, sf_dir):
     engine.replay(gen.events_df(spark), n_batches=2)
     v = engine.table.current_version()
     ch = engine.table.read_changes(spark, v - 1, v)
-    return ch.select(
+    out = ch.select(
         "url",
         "op",
         F.md5(F.coalesce(F.col("before.text"), F.lit(""))).alias("before_md5"),
         F.md5(F.coalesce(F.col("after.text"), F.lit(""))).alias("after_md5"),
     )
+
+    # in-entry differential (independent oracle): brute state diff of the
+    # two snapshots must equal the changelog, row for row. The inputs are
+    # entry-sized (<= ~800 urls) so the collects are bounded.
+    def snap(ver):
+        return {
+            r["url"]: r["text"]
+            for r in engine.table.read(spark, ver).select("url", "text").collect()
+        }
+    a, b = snap(v - 1), snap(v)
+    expected = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            expected[k] = ("i", None, b[k])
+        elif k not in b:
+            expected[k] = ("d", a[k], None)
+        elif a[k] != b[k]:
+            expected[k] = ("u", a[k], b[k])
+    got = {
+        r["url"]: (r["op"], r["before"]["text"] if r["before"] else None,
+                   r["after"]["text"] if r["after"] else None)
+        for r in ch.select("url", "op", "before", "after").collect()
+    }
+    if got != expected:
+        diff = {k: (got.get(k), expected.get(k)) for k in set(got) ^ set(expected)} or {
+            k: (got[k], expected[k]) for k in got if got[k] != expected[k]
+        }
+        raise AssertionError(f"cdc_table_changes differential mismatch: {diff}")
+    return out
 
 
 @_q("cdc_replay_multi")
