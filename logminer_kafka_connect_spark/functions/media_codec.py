@@ -24,29 +24,49 @@ import numpy as np
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode an HxW uint8 grayscale array as a valid PNG (bit depth 8,
-    color type 0, filter 0 per scanline, one zlib IDAT)."""
-    if pixels.dtype != np.uint8 or pixels.ndim != 2:
-        raise ValueError("encode_png expects an HxW uint8 array")
-    h, w = pixels.shape
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
     return (
-        PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
     )
+
+
+def encode_png(pixels: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """Encode a uint8 array as a valid PNG (bit depth 8, filter 0 per
+    scanline, one zlib IDAT):
+
+    - HxW, no palette   -> color type 0 (grayscale)
+    - HxWx3, no palette -> color type 2 (truecolor RGB)
+    - HxW + palette Nx3 -> color type 3 (indexed; PLTE chunk, pixels are
+      palette indices < N)
+    """
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8 pixels")
+    if palette is not None:
+        if pixels.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+            raise ValueError("palette encode expects HxW indices and an Nx3 palette")
+        if int(pixels.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        color = 3
+        h, w = pixels.shape
+        rows = pixels
+    elif pixels.ndim == 2:
+        color, (h, w), rows = 0, pixels.shape, pixels
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color = 2
+        h, w = pixels.shape[:2]
+        rows = pixels.reshape(h, w * 3)
+    else:
+        raise ValueError("encode_png expects HxW or HxWx3 uint8 pixels")
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + rows[r].tobytes() for r in range(h))
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -58,15 +78,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG back to an HxW uint8 array.
+    """Decode an 8-bit PNG: grayscale (color 0) -> HxW; truecolor RGB
+    (color 2) and indexed/palette (color 3, PLTE expanded) -> HxWx3.
 
     Verifies the signature and per-chunk CRCs, concatenates IDAT,
     inflates, and reverses all five scanline filters (None/Sub/Up/
-    Average/Paeth)."""
+    Average/Paeth) with the color type's byte-per-pixel offset — PNG
+    filters predict from the byte ``bpp`` positions earlier, so Sub/
+    Average/Paeth differ between grayscale and RGB rows."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
-    width = height = None
+    width = height = color = None
+    plte: np.ndarray | None = None
     idat = b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -77,11 +101,15 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {typ!r}: CRC mismatch")
         if typ == b"IHDR":
             width, height, depth, color = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or color != 0:
+            if depth != 8 or color not in (0, 2, 3):
                 raise ValueError(
                     f"unsupported PNG (bit depth {depth}, color type {color}); "
-                    "this decoder handles 8-bit grayscale"
+                    "this decoder handles 8-bit grayscale/RGB/palette"
                 )
+        elif typ == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += body
         elif typ == b"IEND":
@@ -89,12 +117,15 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    bpp = 3 if color == 2 else 1
     raw = zlib.decompress(idat)
-    stride = width  # 1 byte/pixel
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data has the wrong length")
-    out = np.zeros((height, width), dtype=np.uint8)
-    prev = np.zeros(width, dtype=np.int32)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
     for r in range(height):
         ftype = raw[r * (stride + 1)]
         line = np.frombuffer(
@@ -104,25 +135,30 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif ftype == 1:  # Sub
             cur = line.copy()
-            for x in range(1, width):
-                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             cur = line.copy()
-            cur[0] = (cur[0] + prev[0] // 2) & 0xFF
-            for x in range(1, width):
-                cur[x] = (cur[x] + (cur[x - 1] + prev[x]) // 2) & 0xFF
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + (a + prev[x]) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             cur = line.copy()
-            cur[0] = (cur[0] + prev[0]) & 0xFF  # a=c=0 -> predictor is b
-            for x in range(1, width):
-                cur[x] = (cur[x] + _paeth(int(cur[x - 1]), int(prev[x]), int(prev[x - 1]))) & 0xFF
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                cur[x] = (cur[x] + _paeth(a, int(prev[x]), c)) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    return out
+    if color == 0:
+        return out
+    if color == 2:
+        return out.reshape(height, width, 3)
+    return plte[out]  # color 3: indices -> HxWx3 through the palette
 
 
 def jpeg_dimensions(data: bytes) -> tuple[int, int]:
@@ -150,8 +186,15 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int]:
 def png_decoder(payload: bytes) -> dict:
     """A real ``decoder=`` for textops.multimodal.extract_media_features:
     decodes actual PNG pixels and derives the feature row from them
-    (pixel mean/entropy/16-bin histogram), not from the container bytes."""
+    (pixel mean/entropy/16-bin histogram), not from the container bytes.
+    RGB/palette images are reduced to integer Rec.601 luma first so the
+    feature shape is color-type-invariant."""
     px = decode_png(payload)
+    if px.ndim == 3:  # RGB / palette-expanded -> luma
+        p32 = px.astype(np.uint32)
+        px = ((299 * p32[..., 0] + 587 * p32[..., 1] + 114 * p32[..., 2]) // 1000).astype(
+            np.uint8
+        )
     flat = px.ravel()
     hist = np.bincount(flat, minlength=256).astype(np.float64)
     p = hist / hist.sum()

@@ -88,7 +88,22 @@ def attach_png_media_columns(
             h = max(1, -(-len(arr) // w))
             px = np.zeros(w * h, dtype=np.uint8)
             px[: len(arr)] = arr
-            out.append(encode_png(px.reshape(h, w)))
+            px = px.reshape(h, w)
+            # deterministic color-type mix (by content, not position):
+            # grayscale / truecolor RGB / 16-entry palette, so every PNG
+            # color path of the codec sees real traffic through the slot
+            kind = int(arr.sum()) % 3
+            if kind == 0:
+                out.append(encode_png(px))
+            elif kind == 1:
+                rgb = np.stack([px, np.roll(px, 1, axis=1), 255 - px], axis=2)
+                out.append(encode_png(rgb))
+            else:
+                pal = np.stack(
+                    [np.arange(16) * 17, np.arange(16)[::-1] * 17, np.full(16, 128)],
+                    axis=1,
+                ).astype(np.uint8)
+                out.append(encode_png((px % 16).astype(np.uint8), palette=pal))
         return pd.Series(out)
 
     payload = to_png(F.col(text_col))

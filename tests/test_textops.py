@@ -232,6 +232,82 @@ def test_png_decode_all_filter_types():
     assert (decode_png(data) == px.astype(np.uint8)).all()
 
 
+def test_png_rgb_roundtrip_exact():
+    """Truecolor (color type 2) encode -> decode recovers HxWx3 exactly."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(17, 29, 3), dtype=np.uint8)
+    back = decode_png(encode_png(px))
+    assert back.shape == (17, 29, 3)
+    assert (back == px).all()
+
+
+def test_png_palette_roundtrip_exact():
+    """Indexed (color type 3) encode -> decode expands PLTE to HxWx3."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 13), dtype=np.uint8)
+    back = decode_png(encode_png(idx, palette=pal))
+    assert back.shape == (9, 13, 3)
+    assert (back == pal[idx]).all()
+
+
+def test_png_rgb_decode_all_filter_types():
+    """Filter reversal at bpp=3: PNG filters predict from the byte bpp
+    positions earlier, so Sub/Average/Paeth differ from the grayscale
+    case — pinned with a hand-filtered truecolor stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import _paeth, decode_png
+
+    rng = np.random.default_rng(19)
+    h, w, bpp = 5, 6, 3
+    px = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = px[r]
+        filt = cur.copy()
+        for x in range(w * bpp):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 1:
+                filt[x] = (cur[x] - a) % 256
+            elif ftype == 2:
+                filt[x] = (cur[x] - b) % 256
+            elif ftype == 3:
+                filt[x] = (cur[x] - (a + b) // 2) % 256
+            elif ftype == 4:
+                filt[x] = (cur[x] - _paeth(a, b, c)) % 256
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        prev = cur
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(data).reshape(h, w * bpp) == px.astype(np.uint8)).all()
+
+
 def test_png_decode_rejects_corruption():
     import numpy as np
     import pytest as _pytest
@@ -277,11 +353,20 @@ def test_png_decoder_end_to_end_through_media_slot(spark, docs):
     feats = extract_media_features(media, use_real_decoder=True, decoder=png_decoder)
     out = {r["doc_id"]: r for r in feats.collect()}
     assert set(out) == set(rows)
-    # independent recompute for one doc: decoded pixel mean matches
-    some_id = sorted(rows)[0]
-    px = decode_png(bytes(rows[some_id]["media"]))
-    assert abs(out[some_id]["byte_mean"] - float(px.mean())) < 1e-9
-    assert len(out[some_id]["feature"]) == 16
+    # independent recompute for every doc: decoded pixel mean matches
+    # (color PNGs through the same Rec.601 luma reduction the decoder uses)
+    kinds = set()
+    for doc_id, r in rows.items():
+        px = decode_png(bytes(r["media"]))
+        kinds.add(px.ndim)
+        if px.ndim == 3:
+            p32 = px.astype(np.uint32)
+            px = (
+                (299 * p32[..., 0] + 587 * p32[..., 1] + 114 * p32[..., 2]) // 1000
+            ).astype(np.uint8)
+        assert abs(out[doc_id]["byte_mean"] - float(px.mean())) < 1e-9
+        assert len(out[doc_id]["feature"]) == 16
+    assert kinds == {2, 3}  # the generated mix exercises gray AND color paths
 
 
 def test_wav_roundtrip_exact():
