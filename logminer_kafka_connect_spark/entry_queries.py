@@ -1214,6 +1214,33 @@ def mm_png_decode(spark, sf_dir):
     )
 
 
+@_q("mm_jpeg_decode")
+def mm_jpeg_decode(spark, sf_dir):
+    """Entropy-coded rung of the real-codec story (rows-only; no SQL
+    oracle runs huffman+IDCT): text -> valid baseline JPEG (pure-python
+    DCT + Annex-K huffman encoder) -> FULL entropy decode (huffman,
+    run-length, dezigzag, dequantize, IDCT) -> pixel-derived features,
+    through the same mapInPandas plumbing. Reconstruction error is
+    quantization-bounded and pinned in tests/test_textops.py."""
+    from logminer_kafka_connect_spark.functions.media_codec import jpeg_decoder
+    from logminer_kafka_connect_spark.operators.textops.multimodal import (
+        attach_jpeg_media_columns,
+        extract_media_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_media_features(
+        attach_jpeg_media_columns(docs), use_real_decoder=True, decoder=jpeg_decoder
+    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        "byte_entropy",
+        F.to_json("feature").alias("feature_json"),
+    )
+
+
 @_q("mm_wav_decode")
 def mm_wav_decode(spark, sf_dir):
     """Audio rung of the multimodal slot (rows-only; no SQL oracle decodes

@@ -161,6 +161,383 @@ def decode_png(data: bytes) -> np.ndarray:
     return plte[out]  # color 3: indices -> HxWx3 through the palette
 
 
+# --------------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81), grayscale, pure python + numpy:
+# 8x8 DCT blocks, Annex-K luminance quantization table (libjpeg-style
+# quality scaling), canonical huffman coding with the Annex-K standard
+# luminance DC/AC tables, byte-stuffed entropy segment. Both directions —
+# so the multimodal decode slot runs on honest entropy-coded bytes (the
+# r4 VERDICT stretch item; previously JPEG was a header-only parse).
+# All tables here are from the public JPEG standard (Annex K.1/K.3).
+
+_JPEG_QTBL = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+#: zigzag scan order (T.81 figure 5): _ZIGZAG[k] = (row, col) of the k-th
+#: coefficient — odd diagonals run down-left (row ascending), even ones
+#: up-right (col ascending)
+_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
+)
+
+# Annex K.3: standard luminance huffman tables as (BITS, HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical huffman assignment: {symbol: (code, length)}."""
+    if sum(bits) != len(vals):
+        raise ValueError("huffman BITS/HUFFVAL mismatch")
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    n = 8
+    m = np.zeros((n, n))
+    for k in range(n):
+        for x in range(n):
+            m[k, x] = np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    m *= np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _quality_qtbl(quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of the Annex-K table (1..100)."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_JPEG_QTBL * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an HxW uint8 grayscale image as a baseline sequential JPEG
+    (SOI/APP0/DQT/SOF0/DHT/SOS/ECS/EOI, one component, no subsampling)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 2:
+        raise ValueError("encode_jpeg_baseline expects an HxW uint8 array")
+    h, w = pixels.shape
+    qtbl = _quality_qtbl(quality)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    # pad to 8x8 blocks by edge replication, level-shift, block DCT
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(pixels, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
+    blocks = img.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
+    quant = np.round(coef / qtbl).astype(np.int32)
+
+    zz_rows = [rc[0] for rc in _ZIGZAG]
+    zz_cols = [rc[1] for rc in _ZIGZAG]
+    bw = _BitWriter()
+    dc_pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = quant[by, bx]
+            zz = blk[zz_rows, zz_cols]
+            # DC: differential, category + appended bits
+            diff = int(zz[0]) - dc_pred
+            dc_pred = int(zz[0])
+            s, bits_v = _magnitude(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(bits_v, s)
+            # AC: run-length of zeros + category
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s, bits_v = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(bits_v, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    ecs = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(int(qtbl[r, c]) for r, c in _ZIGZAG)
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + ecs + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: appended bits -> signed value of category s."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_baseline(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential grayscale JPEG (as produced by
+    :func:`encode_jpeg_baseline`, or any 1-component baseline file using
+    tables embedded in its own DQT/DHT) back to an HxW uint8 array.
+
+    Full entropy decode: huffman + run-length + dezigzag + dequantize +
+    IDCT. Progressive and multi-component (color) files are rejected with
+    an honest error — chroma subsampling/upsampling is out of scope."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comp_q = dc_id = ac_id = 0
+    ecs_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    tbl[r, c] = b[1 + k]
+                qtables[tq] = tbl
+                b = b[65:]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential (SOF0) is supported")
+        elif marker == 0xC0:  # SOF0
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only 1-component (grayscale) JPEG is supported")
+            sampling, comp_q = body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                nv = sum(bits)
+                vals = list(b[17 : 17 + nv])
+                fwd = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {(ln, code): sym for sym, (code, ln) in fwd.items()}
+                b = b[17 + nv :]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("only 1-component scans are supported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ecs_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if h is None or ecs_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    # entropy-coded segment: un-stuff 0xFF00, stop at EOI; restart markers
+    # reset the DC predictor (we never emit them, but accept them)
+    ecs = bytearray()
+    restarts = []
+    p = ecs_start
+    while p < len(data):
+        byte = data[p]
+        if byte == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                ecs.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                restarts.append(len(ecs))
+                p += 2
+                continue
+            break  # EOI or another marker
+        ecs.append(byte)
+        p += 1
+
+    qtbl = qtables[comp_q]
+    dc_tbl = htables[(0, dc_id)]
+    ac_tbl = htables[(1, ac_id)]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph // 8, pw // 8, 8, 8), dtype=np.float64)
+    br = _BitReader(bytes(ecs))
+    zz_rows = [rc[0] for rc in _ZIGZAG]
+    zz_cols = [rc[1] for rc in _ZIGZAG]
+    dc_pred = 0
+    restart_set = set(restarts)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if br.n == 0 and br.pos in restart_set:
+                dc_pred = 0
+            zz = np.zeros(64, dtype=np.int32)
+            s = _huff_decode(br, dc_tbl)
+            diff = _extend(br.bits(s), s) if s else 0
+            dc_pred += diff
+            zz[0] = dc_pred
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_tbl)
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            blk = np.zeros((8, 8), dtype=np.int32)
+            blk[zz_rows, zz_cols] = zz
+            out[by, bx] = blk * qtbl
+    # IDCT all blocks, un-shift, crop
+    spatial = np.einsum("ji,abjk,kl->abil", _DCT_M, out, _DCT_M)
+    img = spatial.transpose(0, 2, 1, 3).reshape(ph, pw) + 128.0
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jpeg_decoder(payload: bytes) -> dict:
+    """A real JPEG ``decoder=`` for the multimodal slot: full baseline
+    entropy decode, features from reconstructed pixels (same row shape as
+    :func:`png_decoder`)."""
+    px = decode_jpeg_baseline(payload)
+    flat = px.ravel()
+    hist = np.bincount(flat, minlength=256).astype(np.float64)
+    p = hist / hist.sum()
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    bins = hist.reshape(16, 16).sum(axis=1) / flat.size
+    return {
+        "n_bytes": int(len(payload)),
+        "byte_mean": float(flat.mean()),
+        "byte_entropy": round(entropy, 6),
+        "feature": [float(x) for x in bins],
+    }
+
+
 def jpeg_dimensions(data: bytes) -> tuple[int, int]:
     """(height, width) from a JPEG's SOFn marker — a real header parse
     (full entropy decode needs a codec this container lacks)."""

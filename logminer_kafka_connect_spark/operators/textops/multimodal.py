@@ -117,6 +117,43 @@ def attach_png_media_columns(
     return df.select(id_col, "media", meta.alias("media_meta"))
 
 
+def attach_jpeg_media_columns(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Like attach_png_media_columns, but the payload is a VALID baseline
+    JPEG (pure-python DCT + huffman encoder, functions/media_codec.py) —
+    the entropy-coded rung of the real-codec story: the decode slot runs
+    huffman + dequant + IDCT on honest bytes, and the features are only
+    quantization-close to the source pixels (lossy), unlike PNG's exact
+    round-trip."""
+    import pandas as pd  # noqa: F811 (UDF-local, pickled to workers)
+
+    from logminer_kafka_connect_spark.functions.media_codec import encode_jpeg_baseline
+
+    @F.pandas_udf(T.BinaryType())
+    def to_jpeg(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            b = (t or "").encode("utf-8") or b"\x00"
+            arr = np.frombuffer(b, dtype=np.uint8)
+            w = max(8, min(64, int(len(arr) ** 0.5)))
+            h = max(8, -(-len(arr) // w))
+            px = np.zeros(w * h, dtype=np.uint8)
+            px[: len(arr)] = arr
+            out.append(encode_jpeg_baseline(px.reshape(h, w), quality=85))
+        return pd.Series(out)
+
+    payload = to_jpeg(F.col(text_col))
+    df = df.select(F.col(id_col), payload.alias("media"))
+    meta = F.struct(
+        F.lit("image/jpeg").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),  # real dims live in the SOF0
+        F.lit(None).cast("int").alias("height"),
+        F.length("media").cast("long").alias("n_bytes"),
+    )
+    return df.select(id_col, "media", meta.alias("media_meta"))
+
+
 def _fake_decode(payload: bytes) -> dict:
     arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
     hist = np.bincount(arr, minlength=256).astype(np.float64)

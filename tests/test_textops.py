@@ -322,6 +322,83 @@ def test_png_decode_rejects_corruption():
         decode_png(b"GIF89a....")
 
 
+def test_jpeg_baseline_roundtrip_quantization_bounded():
+    """Full baseline JPEG encode -> entropy decode: lossy, but the error
+    is quantization-bounded — near-exact on smooth content, bounded on
+    worst-case noise, exact on flat blocks. Dimensions survive non-
+    multiple-of-8 sizes (edge-padded blocks, cropped on decode)."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        jpeg_dimensions,
+    )
+
+    g = (np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 256).astype(np.uint8)
+    data = encode_jpeg_baseline(g, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert jpeg_dimensions(data) == (24, 40)  # header parser reads our SOF0
+    back = decode_jpeg_baseline(data)
+    assert back.shape == g.shape
+    err = np.abs(back.astype(int) - g.astype(int))
+    assert err.mean() < 2 and err.max() <= 8
+
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, size=(17, 31), dtype=np.uint8)  # 8-pad + crop
+    nb = decode_jpeg_baseline(encode_jpeg_baseline(noise, quality=90))
+    nerr = np.abs(nb.astype(int) - noise.astype(int))
+    assert nb.shape == noise.shape
+    assert nerr.mean() < 8 and nerr.max() <= 40  # q90 table steps bound this
+
+    flat = np.full((8, 8), 77, dtype=np.uint8)
+    assert (decode_jpeg_baseline(encode_jpeg_baseline(flat)) == 77).all()
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from logminer_kafka_connect_spark.functions.media_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_baseline(b"\x89PNG....")
+    data = bytearray(encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # pretend progressive
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_baseline(bytes(data))
+
+
+def test_jpeg_decoder_end_to_end_through_media_slot(spark, docs):
+    """The JPEG decoder runs through the same mapInPandas plumbing, on
+    honest entropy-coded bytes; features derive from reconstructed
+    pixels (quantization-close to the source text bytes)."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.functions.media_codec import (
+        decode_jpeg_baseline,
+        jpeg_decoder,
+    )
+    from logminer_kafka_connect_spark.operators.textops.multimodal import (
+        attach_jpeg_media_columns,
+        extract_media_features,
+    )
+
+    media = attach_jpeg_media_columns(docs.limit(12))
+    rows = {r["doc_id"]: r for r in media.collect()}
+    feats = extract_media_features(media, use_real_decoder=True, decoder=jpeg_decoder)
+    out = {r["doc_id"]: r for r in feats.collect()}
+    assert set(out) == set(rows)
+    for doc_id, r in rows.items():
+        px = decode_jpeg_baseline(bytes(r["media"]))
+        assert abs(out[doc_id]["byte_mean"] - float(px.mean())) < 1e-9
+        assert len(out[doc_id]["feature"]) == 16
+
+
 def test_jpeg_dimensions_from_sof():
     import struct
 
