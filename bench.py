@@ -104,6 +104,10 @@ HEADLINE = [
     "n19_ivf_topk",
     "t21_quality_score",
     "mm_media_features",
+    # round 5 additions
+    "w27_session_windows",
+    "a08s_value_percentiles_sketch",
+    "mm_jpeg_decode",
 ]
 
 
@@ -630,12 +634,17 @@ def run_scaling(results: dict) -> dict:
     # even on a quiet host, so the ladder's absolute OCC_FLOOR would
     # reject every draw.
     def _tail_valid(draws: list[dict]) -> list[dict]:
-        v = _valid_cpu(draws)
-        occs = [s["occ"] for s in v if s.get("occ")]
-        if not occs:
-            return v
-        cap = max(occs) * 0.9
-        return [s for s in v if s.get("occ") and s["occ"] >= cap]
+        # occupancy gate FIRST (level-relative), then the CPU-inflation
+        # floor over the occupancy-valid draws — same ordering as _valid:
+        # a stalled draw's DEFLATED cpu must not set a floor that rejects
+        # the honest quiet draw next to it
+        occs = [s["occ"] for s in draws if s.get("occ")]
+        if occs:
+            cap = max(occs) * 0.9
+            occ_ok = [s for s in draws if s.get("occ") and s["occ"] >= cap]
+        else:
+            occ_ok = list(draws)
+        return _valid_cpu(occ_ok)
 
     def gated_tail(run_fn, label: str) -> tuple[float, list[dict], bool]:
         draws: list[dict] = []

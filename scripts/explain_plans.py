@@ -38,6 +38,8 @@ SHOW = [
     "t23_repetition_stats",
     "t24_hash_split",  # the no-Exchange narrow plan is the point
     "w26_event_windows",
+    "w27_session_windows",
+    "a08s_value_percentiles_sketch",
 ]
 
 

@@ -277,6 +277,21 @@ def test_tail_runs_gated_and_contended_flagged(scaling_env):
     assert out["tail_runs"]["tracked8"]["contended"] is True
 
 
+def test_stalled_tail_draw_cannot_reject_quiet_draw_via_cpu_floor(scaling_env):
+    # A wall-stalled local[32] draw (low eps, DEFLATED cpu) must not set
+    # the tail CPU floor: the quiet draw (higher cpu, full occupancy) is
+    # the honest one and must be recorded. Mirrors the _valid ordering fix.
+    def script(n_cpus, i, tracking):
+        if n_cpus == 32:
+            return [(19000, 1500, 0.55), (33000, 1900, 0.68), (32500, 1950, 0.67)][i % 3]
+        return _quiet(n_cpus, i, tracking) + (0.95,)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    assert out["events_per_sec_local32"] == 33000  # not the stalled 19000
+    assert out["tail_runs"]["local32"]["contended"] is False
+
+
 def test_gate_clean_anchor_beats_fallback_ladder_even_when_lower(scaling_env):
     # Live case two: anchor measures an honest, gate-valid 0.87; the
     # corroboration ladder's 2-cpu draws are contended (fallback
