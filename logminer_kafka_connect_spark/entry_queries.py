@@ -871,6 +871,48 @@ def a08s(spark, sf_dir):
 
 
 @_q(
+    "a09_user_cardinality",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def a09(spark, sf_dir):
+    """Exact per-group distinct-count — the baseline for the HLL sketch
+    below. Exact COUNT(DISTINCT) is a two-phase shuffle (partial distinct
+    per partition, then re-shuffle on the group key); correct at any
+    scale but the distinct set itself crosses the wire."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_q("a09s_user_cardinality_sketch")
+def a09s(spark, sf_dir):
+    """Sketch path for distinct counting: `approx_count_distinct`
+    (HyperLogLog++) — O(1) state per group crosses the shuffle instead of
+    the distinct set, fully partial-aggregable, the operator a 100-TB
+    pipeline actually runs for cardinality. Rows-only (HLL registers are
+    not reproducible in DuckDB); relative error vs the exact `a09` is
+    pinned in tests/test_round5.py (rsd=0.01 -> |err| well under 5%)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_q(
     "w26_event_windows",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -1005,12 +1047,17 @@ def cdc_table_changes(spark, sf_dir):
     )
 
     # in-entry differential (independent oracle): brute state diff of the
-    # two snapshots must equal the changelog, row for row. The inputs are
-    # entry-sized (<= ~800 urls) so the collects are bounded.
+    # two snapshots must equal the changelog, row for row, over EVERY
+    # payload column (an update may change only a non-text column — e.g.
+    # lang — and the changelog must surface exactly those too; comparing
+    # a text projection alone mislabels such rows as spurious). The
+    # inputs are entry-sized (<= ~800 urls) so the collects are bounded.
+    cols = [f.name for f in engine.table.schema().fields if f.name != "url"]
+
     def snap(ver):
         return {
-            r["url"]: r["text"]
-            for r in engine.table.read(spark, ver).select("url", "text").collect()
+            r["url"]: tuple(r[c] for c in cols)
+            for r in engine.table.read(spark, ver).select("url", *cols).collect()
         }
     a, b = snap(v - 1), snap(v)
     expected = {}
@@ -1022,8 +1069,11 @@ def cdc_table_changes(spark, sf_dir):
         elif a[k] != b[k]:
             expected[k] = ("u", a[k], b[k])
     got = {
-        r["url"]: (r["op"], r["before"]["text"] if r["before"] else None,
-                   r["after"]["text"] if r["after"] else None)
+        r["url"]: (
+            r["op"],
+            tuple(r["before"][c] for c in cols) if r["before"] else None,
+            tuple(r["after"][c] for c in cols) if r["after"] else None,
+        )
         for r in ch.select("url", "op", "before", "after").collect()
     }
     if got != expected:

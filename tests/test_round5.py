@@ -46,6 +46,27 @@ def test_sketch_percentiles_within_one_pct_of_range_at_sf001(spark):
             assert abs(sketch[g][q] - ex[q]) <= tol, (g, q, sketch[g][q], ex[q], tol)
 
 
+def test_hll_cardinality_within_relative_error(spark):
+    """a09s (approx_count_distinct, rsd=0.01) vs a09 (exact distinct):
+    per-group relative error <= 5% at both test scales (HLL++ at rsd=0.01
+    typically lands within ~1-2%; 5% leaves room for small-group bias
+    correction), and the n_events side is exact."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            r["event_type"]: r
+            for r in QUERIES["a09_user_cardinality"](spark, sf_dir).collect()
+        }
+        sketch = {
+            r["event_type"]: r
+            for r in QUERIES["a09s_user_cardinality_sketch"](spark, sf_dir).collect()
+        }
+        assert set(exact) == set(sketch) and len(exact) >= 3
+        for g, ex in exact.items():
+            assert sketch[g]["n_events"] == ex["n_events"]  # exact side
+            rel = abs(sketch[g]["n_users"] - ex["n_users"]) / ex["n_users"]
+            assert rel <= 0.05, (sf_dir, g, sketch[g]["n_users"], ex["n_users"])
+
+
 def test_sketch_percentiles_rank_error_bound(spark):
     """The sketch's own contract: the returned value's RANK is within
     1/accuracy of the target quantile. Checked at sf0.001 (sparse-tail
