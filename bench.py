@@ -719,6 +719,32 @@ def run_scaling(results: dict) -> dict:
             clu = redraw
     local4 = [s_ for s_ in runs.get(anchor, {}).get(4, []) if s_.get("eps")]
     clu_vs_local = round(clu["eps"] / max(s_["eps"] for s_ in local4), 3) if local4 else None
+
+    # Optional (env-gated; adds ~12 min): the north_rule's criterion read
+    # LITERALLY — the same job at two CLUSTER SIZES, 1 executor vs 4
+    # executors, each a separate JVM, the driver pinned to its own core
+    # at BOTH levels (executors+driver = 2 and 5 pinned cores) so driver
+    # overhead cannot tilt the ratio. Efficiency = (eps_4x/eps_1x)/4.
+    # Default off to keep the per-round bench wall bounded; the measured
+    # numbers are recorded in BASELINE.md.
+    cluster_ladder = None
+    if os.environ.get("SPARK_GRAFT_BENCH_CLUSTER_LADDER") == "1":
+        c1 = _replay_once(
+            1, events_path, snap_path, n_events, "20-21",
+            master="local-cluster[1,1,8192]",
+        )
+        c4 = _replay_once(
+            4, events_path, snap_path, n_events, "24-28",
+            master="local-cluster[4,1,8192]",
+        )
+        cluster_ladder = {
+            "masters": "local-cluster[1,1] -> local-cluster[4,1]",
+            "events_per_sec_1x": round(c1["eps"], 1),
+            "events_per_sec_4x": round(c4["eps"], 1),
+            "occ": [c1.get("occ"), c4.get("occ")],
+            "cpu_s": [c1["cpu"], c4["cpu"]],
+            "scaling_efficiency": round((c4["eps"] / c1["eps"]) / 4, 3),
+        }
     results[f"cdc_replay_N{lvl_n}"] = round(n_events / eps_n, 3)
     results[f"cdc_replay_4N{lvl_4n}"] = round(n_events / eps_4n, 3)
     results[f"cdc_replay_local{CPUS}"] = round(n_events / eps_full, 3)
@@ -738,6 +764,7 @@ def run_scaling(results: dict) -> dict:
             "occ": clu.get("occ"),
             "vs_local4_ratio": clu_vs_local,
         },
+        **({"cluster_ladder": cluster_ladder} if cluster_ladder else {}),
         "tail_runs": {
             f"local{CPUS}": {
                 "contended": full_contended,
