@@ -648,8 +648,9 @@ def run_scaling(results: dict) -> dict:
 
     # tails may overrun the scaling budget by this much to buy their
     # confirmation draw (the scaling loop tends to spend the budget to its
-    # edge, which in rehearsal left every tail a single unconfirmed draw)
-    tail_grace = float(os.environ.get("SPARK_GRAFT_BENCH_TAIL_GRACE_S", "420"))
+    # edge, which in rehearsal left every tail a single unconfirmed draw;
+    # 700s covers one local[32] + one tracked-8 confirmation draw)
+    tail_grace = float(os.environ.get("SPARK_GRAFT_BENCH_TAIL_GRACE_S", "700"))
 
     def gated_tail(run_fn, label: str) -> tuple[float, list[dict], bool, str | None]:
         draws: list[dict] = []
