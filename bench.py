@@ -211,6 +211,15 @@ def _replay_once(
     env["LMKC_CORES"] = cores  # worker reports occupancy/steal over these
     if master:
         env["LMKC_MASTER"] = master
+        if master.startswith("local-cluster") and "LMKC_WARMUP_DIV" not in env:
+            # multi-executor masters split the fixed warmup slice across
+            # JVMs (each C2 compiler sees ~1/E of the invocations), so
+            # warm 5% instead of 1% — measured A/B on 4x1-core executors:
+            # 19.6k ev/s @ 551 cpu-s under-warmed vs 22.6k @ 486 warmed;
+            # saturates by 5%. The clock starts after warmup either way
+            # (the metric is sustained 10^10-event throughput, where JIT
+            # warmup is amortized noise at ANY executor count).
+            env["LMKC_WARMUP_DIV"] = "20"
     if tracking:
         env["LMKC_TRACKING"] = "1"
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
@@ -703,22 +712,43 @@ def run_scaling(results: dict) -> dict:
     # boundaries and the number is directly comparable to local[4]
     # (done-bar: within ~1.3x). One redraw if the first draw wall-stalls.
     clu_cores = "4-7"
-    clu = _replay_once(
-        4, events_path, snap_path, n_events, clu_cores,
-        master="local-cluster[4,1,8192]",
+    local4 = [s_ for s_ in runs.get(anchor, {}).get(4, []) if s_.get("eps")]
+    local4_cpu_floor = min(
+        (s_["cpu"] for s_ in local4 if s_.get("cpu")), default=None
     )
-    if (
-        clu.get("occ") is not None
-        and clu["occ"] < OCC_FLOOR
-        and time.time() - t_start < budget_s * 1.2
-    ):
-        redraw = _replay_once(
+
+    def _clu_contended(s_: dict) -> bool:
+        # occupancy floor, plus a CPU gate anchored on the session's own
+        # quiet local[4] draws: the cluster run does the same work + real
+        # cross-JVM serde, measured ~1.1-1.2x the local CPU when quiet
+        # (456 vs ~400 cpu-s), while a contended window pushed it to 558
+        # and silently recorded a 0.69 ratio — 1.35x is the reject line.
+        if s_.get("occ") is not None and s_["occ"] < OCC_FLOOR:
+            return True
+        return bool(
+            local4_cpu_floor and s_.get("cpu") and s_["cpu"] > local4_cpu_floor * 1.35
+        )
+
+    clu_draws = [
+        _replay_once(
             4, events_path, snap_path, n_events, clu_cores,
             master="local-cluster[4,1,8192]",
         )
-        if redraw["eps"] > clu["eps"]:
-            clu = redraw
-    local4 = [s_ for s_ in runs.get(anchor, {}).get(4, []) if s_.get("eps")]
+    ]
+    while (
+        _clu_contended(clu_draws[-1])
+        and len(clu_draws) < 3
+        and time.time() - t_start < budget_s + tail_grace
+    ):
+        print("# cluster draw contended, redrawing", file=sys.stderr)
+        clu_draws.append(
+            _replay_once(
+                4, events_path, snap_path, n_events, clu_cores,
+                master="local-cluster[4,1,8192]",
+            )
+        )
+    clean = [s_ for s_ in clu_draws if not _clu_contended(s_)]
+    clu = max(clean or clu_draws, key=lambda s_: s_["eps"])
     clu_vs_local = round(clu["eps"] / max(s_["eps"] for s_ in local4), 3) if local4 else None
 
     # Optional (env-gated; adds ~12 min): the north_rule's criterion read
@@ -764,6 +794,8 @@ def run_scaling(results: dict) -> dict:
             "cpu_s": clu["cpu"],
             "occ": clu.get("occ"),
             "vs_local4_ratio": clu_vs_local,
+            "contended": _clu_contended(clu),
+            "n_draws": len(clu_draws),
         },
         **({"cluster_ladder": cluster_ladder} if cluster_ladder else {}),
         "tail_runs": {

@@ -189,7 +189,13 @@ def main():
         from pyspark.sql import functions as F
 
         bounds = events.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
-        warm_hi = bounds["lo"] + max(1, (bounds["hi"] - bounds["lo"]) // 100)
+        # LMKC_WARMUP_DIV: 100 -> ~1% of the log warms JIT/Arrow/page cache.
+        # Multi-executor masters split the warmup across JVMs (each C2
+        # compiler sees only its share of invocations), so cluster runs
+        # warm a larger slice — measured: an under-warmed 4-executor replay
+        # burns ~1.2x the CPU of a warmed one for the same work.
+        warm_div = int(os.environ.get("LMKC_WARMUP_DIV", "100"))
+        warm_hi = bounds["lo"] + max(1, (bounds["hi"] - bounds["lo"]) // warm_div)
         warm = consolidate(events, DEFAULT_SELECTORS, None, warm_hi)
         warm_src = build_merge_source_typed(
             parse_committed_typed(warm, PAGES_SCHEMA).filter(F.col("parse_error").isNull()),

@@ -51,7 +51,12 @@ def scaling_env(monkeypatch, tmp_path):
             with lock:
                 i = calls.get((n_cpus, tracking, master), 0)
                 calls[(n_cpus, tracking, master)] = i + 1
-            r = script(n_cpus, i, tracking)
+            import inspect
+
+            if len(inspect.signature(script).parameters) >= 4:
+                r = script(n_cpus, i, tracking, master)
+            else:
+                r = script(n_cpus, i, tracking)
             eps, cpu = r[0], r[1]
             occ = r[2] if len(r) > 2 else None
             return {
@@ -290,6 +295,24 @@ def test_stalled_tail_draw_cannot_reject_quiet_draw_via_cpu_floor(scaling_env):
     out = bench.run_scaling({})
     assert out["events_per_sec_local32"] == 33000  # not the stalled 19000
     assert out["tail_runs"]["local32"]["contended"] is False
+
+
+def test_contended_cluster_draw_is_redrawn(scaling_env):
+    # The cluster line's CPU gate anchors on the session's quiet local[4]
+    # floor (x1.35 serde allowance): a contended first cluster draw (558
+    # cpu-s vs the 520-ish local floor -> here scripted as clearly over)
+    # must trigger a redraw, and the clean redraw is recorded.
+    def script(n_cpus, i, tracking, master):
+        if master:  # the cluster line's draws
+            return [(19393, 760, 0.94), (24400, 560, 0.96)][i % 2]
+        return _quiet(n_cpus, i, tracking)
+
+    scaling_env(script)
+    out = bench.run_scaling({})
+    c = out["cdc_replay_cluster"]
+    assert c["events_per_sec"] == 24400
+    assert c["n_draws"] == 2 and c["contended"] is False
+    assert c["vs_local4_ratio"] == pytest.approx(24400 / 17200, abs=0.001)
 
 
 def test_gate_clean_anchor_beats_fallback_ladder_even_when_lower(scaling_env):
