@@ -972,6 +972,179 @@ def w27(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Multi-dimensional aggregation (A-family extensions): ROLLUP + pivot
+# --------------------------------------------------------------------------
+@_q(
+    "a11_rollup_stats",
+    """
+    SELECT coalesce(event_type, '<all>')   AS event_type,
+           coalesce(user_bucket, -1)        AS user_bucket,
+           grouping(event_type)             AS g_type,
+           grouping(user_bucket)            AS g_bucket,
+           count(*)                         AS n_events,
+           round(sum(value), 2)             AS sum_value
+    FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+    GROUP BY ROLLUP (event_type, user_bucket)
+    """,
+)
+def a11(spark, sf_dir):
+    """Hierarchical ROLLUP totals (type, type x bucket, grand total) in one
+    pass: Spark's Expand operator replicates each input row once per
+    grouping set BEFORE the exchange, so partial aggregation still applies
+    — one shuffle regardless of how many grouping sets, which is why
+    ROLLUP beats unioning three separate groupBys at 100 TB."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket"), "value"
+    )
+    return (
+        ev.rollup("event_type", "user_bucket")
+        .agg(
+            F.grouping("event_type").alias("g_type"),
+            F.grouping("user_bucket").alias("g_bucket"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            F.col("g_type").cast("long").alias("g_type"),
+            F.col("g_bucket").cast("long").alias("g_bucket"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "a12_pivot_events",
+    """
+    SELECT user_id % 5 AS user_bucket,
+           {cols}
+    FROM events
+    GROUP BY 1
+    """.format(
+        cols=",\n           ".join(
+            f"round(coalesce(sum(value) FILTER (WHERE event_type = '{et}'), 0), 2)"
+            f" AS {et}"
+            for et in _PIVOT_TYPES
+        )
+    ),
+)
+def a12(spark, sf_dir):
+    """Pivot (long -> wide) over an explicit value list: with the pivot
+    values named up front Spark compiles this to ONE hash aggregate with
+    a conditional-sum per output column — no second shuffle, no distinct
+    scan to discover values (which is also what makes it deterministic;
+    the oracle is the equivalent conditional aggregation)."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("user_bucket"), "event_type", "value"
+    )
+    wide = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return wide.select(
+        "user_bucket",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in _PIVOT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (point-in-time enrichment) + set ops
+# --------------------------------------------------------------------------
+@_q(
+    "j14_asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view') THEN value END AS m_value
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    w AS (
+      SELECT *,
+             last_value(m_value IGNORE NULLS) OVER pw AS prior_value,
+             last_value(CASE WHEN m_value IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER pw AS prior_ts
+      FROM tagged
+      WINDOW pw AS (PARTITION BY user_id
+                    ORDER BY ts, (m_value IS NULL), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, prior_ts,
+           round(prior_value, 2) AS prior_value_r
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def j14(spark, sf_dir):
+    """As-of join: each purchase picks up the value of the same user's
+    most recent strictly-prior click/view. Runs through the general
+    operators/asof.py union-scan operator — one Exchange on user_id, one
+    sort, a running last(ignorenulls) window; the right side is never
+    replicated per left row (the scale flaw of the naive range join).
+    The oracle is the same union-scan spelled as a window over the tagged
+    union, so tie-breaking is bit-identical by construction."""
+    from logminer_kafka_connect_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    metrics = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        metrics,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+        prefix="prior_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("prior_ts"),
+        F.round("prior_value", 2).alias("prior_value_r"),
+    )
+
+
+@_q(
+    "u09_set_cohorts",
+    """
+    SELECT user_id, 'click_only' AS cohort FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT user_id, 'both' AS cohort FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def u09(spark, sf_dir):
+    """EXCEPT / INTERSECT cohorting (O-family set ops the reference's
+    rollback exclusion uses as anti-joins): Spark plans both as
+    hash-aggregated left-anti / left-semi joins — distinct-then-join,
+    one shuffle per side, broadcast when a side is small."""
+    ev = t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    click_only = clickers.subtract(buyers)  # EXCEPT (distinct semantics)
+    both = clickers.intersect(buyers)
+    return click_only.withColumn("cohort", F.lit("click_only")).unionByName(
+        both.withColumn("cohort", F.lit("both"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Rows-only entries (no SQL-expressible oracle): CDC replay, LSH ANN,
 # multimodal features
 # --------------------------------------------------------------------------

@@ -96,3 +96,125 @@ def test_sketch_percentiles_rank_error_bound(spark):
             assert lo_rank - tol <= target <= hi_rank + tol, (
                 g, q, v, lo_rank, hi_rank, tol,
             )
+
+
+# ---------------------------------------------------------------------------
+# As-of join operator (operators/asof.py)
+# ---------------------------------------------------------------------------
+def _asof_fixture(spark):
+    """Small deterministic frames with equal-ts edge cases."""
+    left = spark.createDataFrame(
+        [(1, "k1", 10.0), (2, "k1", 20.0), (3, "k2", 5.0), (4, "k3", 7.0)],
+        "lid long, key string, lts double",
+    ).withColumnRenamed("lts", "ts")
+    right = spark.createDataFrame(
+        [
+            ("k1", 5.0, 100, "a"),
+            ("k1", 10.0, 101, "b"),   # equal to left lid=1's ts
+            ("k1", 15.0, 102, "c"),
+            ("k2", 9.0, 103, "d"),
+        ],
+        "key string, ts double, rid long, payload string",
+    )
+    return left, right
+
+
+def test_asof_join_inclusive_and_strict(spark):
+    from logminer_kafka_connect_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    incl = {
+        r["lid"]: (r["asof_ts"], r["asof_payload"])
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts",
+            value_cols=["payload"], tiebreak_cols=["rid"],
+        ).collect()
+    }
+    # lid=1 at ts=10 sees the equal-ts right row (inclusive)
+    assert incl[1] == (10.0, "b")
+    assert incl[2] == (15.0, "c")
+    assert incl[3] == (None, None)  # k2's only right row (ts=9) is later
+    assert incl[4] == (None, None)  # k3 has no right rows at all
+
+    strict = {
+        r["lid"]: (r["asof_ts"], r["asof_payload"])
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts",
+            value_cols=["payload"], tiebreak_cols=["rid"], strict=True,
+        ).collect()
+    }
+    # strictly-prior: the equal-ts row no longer matches
+    assert strict[1] == (5.0, "a")
+    assert strict[2] == (15.0, "c")
+
+
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from logminer_kafka_connect_spark.operators.asof import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r["lid"]: r["asof_payload"]
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts",
+            value_cols=["payload"], tiebreak_cols=["rid"],
+            tolerance=F.lit(6.0),
+        ).collect()
+    }
+    # lid=2 at ts=20: latest right is ts=15 (within 6) -> kept;
+    # lid=3 at ts=5 on k2: latest PRIOR is none; k2's right row is at 9 (>5)
+    assert out[2] == "c"
+    assert out[3] is None
+    # lid=4 (k3, no rights) stays NULL under tolerance too
+    assert out[4] is None
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized differential vs pandas.merge_asof (backward, inclusive),
+    keys restricted so both engines see identical tie-free orderings."""
+    import pandas as pd
+
+    from logminer_kafka_connect_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 300, 500
+    lp = pd.DataFrame(
+        {
+            "key": rng.randint(0, 5, n_l),
+            "ts": rng.permutation(n_l * 3)[:n_l].astype("float64"),
+            "lid": np.arange(n_l),
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "key": rng.randint(0, 5, n_r),
+            # offset by 0.5 so left/right never tie (merge_asof tie rules
+            # and ours agree on inclusive <=; avoiding ties makes the
+            # comparison unambiguous)
+            "ts": rng.permutation(n_r * 3)[:n_r].astype("float64") + 0.5,
+            "val": rng.randn(n_r),
+        }
+    )
+    expected = pd.merge_asof(
+        lp.sort_values("ts"),
+        rp.sort_values("ts"),
+        on="ts",
+        by="key",
+        direction="backward",
+    ).set_index("lid")["val"]
+    got = (
+        asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp.assign(rid=np.arange(n_r))),
+            on=["key"],
+            ts_col="ts",
+            value_cols=["val"],
+            tiebreak_cols=["rid"],
+        )
+        .toPandas()
+        .set_index("lid")["asof_val"]
+    )
+    for lid in expected.index:
+        e, g = expected.loc[lid], got.loc[lid]
+        assert (pd.isna(e) and pd.isna(g)) or abs(e - g) < 1e-12, (lid, e, g)
