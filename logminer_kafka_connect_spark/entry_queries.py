@@ -1145,6 +1145,121 @@ def u09(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# LLM-corpus curation: PII redaction, unigram-LM quality, decontamination
+# --------------------------------------------------------------------------
+# The redaction entry enriches props with a deterministic synthetic email +
+# IPv4 derived from user_id so every rule fires on real matches; the same
+# expression is built in both engines.
+_PII_TEXT_SQL = (
+    "props || ' user' || cast(user_id AS varchar) || '@example.com from 10.0.'"
+    " || cast(user_id % 256 AS varchar) || '.1'"
+)
+
+
+def _pii_oracle() -> str:
+    """Sequential redaction as a CTE chain: pattern i counts/replaces on
+    the text already redacted by patterns < i (mirrors redact_pii)."""
+    from logminer_kafka_connect_spark.operators.textops.quality import PII_PATTERNS
+
+    ctes = [f"base AS (SELECT event_id, {_PII_TEXT_SQL} AS t0 FROM events)"]
+    prev, carried = "base", []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        cols = ", ".join(["event_id", *carried])
+        ctes.append(
+            f"s{i} AS (SELECT {cols}, "
+            f"len(regexp_extract_all(t{i}, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t{i}, '{pat}', '{token}', 'g') AS t{i + 1} "
+            f"FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    SELECT event_id, "
+        + ", ".join(carried) + f", t{len(PII_PATTERNS)} AS redacted FROM {prev}"
+    )
+
+
+@_q("t26_pii_redact", None)  # oracle attached below (needs PII_PATTERNS)
+def t26(spark, sf_dir):
+    """Rule-based PII redaction (C4/RefinedWeb cleanup): counts + redacted
+    text per event via chained regexp_count/regexp_replace — JVM codegen,
+    shuffle-free narrow map. Patterns are RE2-compatible so the DuckDB
+    oracle agrees match-for-match."""
+    from logminer_kafka_connect_spark.operators.textops.quality import redact_pii
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.col("props"),
+            F.lit(" user"),
+            F.col("user_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return redact_pii(ev, id_col="event_id", text_col="text")
+
+
+@_q(
+    "t27_unigram_logprob",
+    """
+    WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+               FROM documents),
+    f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT cast(sum(c) AS double) AS n FROM f),
+    lp AS (SELECT word, log10(c / n) AS logp FROM f, tot)
+    SELECT doc_id, count(*) AS n_words, round(avg(logp), 4) AS mean_logp
+    FROM w JOIN lp USING (word) GROUP BY doc_id
+    """,
+)
+def t27(spark, sf_dir):
+    """Corpus-unigram-LM quality signal (CCNet's perplexity bucketing with
+    the LM reduced to corpus unigrams): one (word) count shuffle to build
+    the vocabulary-sized frequency table, then a broadcast join back onto
+    the word stream and a per-doc mean — no model download, no UDF."""
+    from logminer_kafka_connect_spark.operators.textops.quality import unigram_logprob
+
+    return unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "d21_decontaminate",
+    f"""
+    WITH {_shingle_cte(3)},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 13 <> 0),
+    n AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id)
+    SELECT tr.doc_id,
+           count(*)                              AS n_shared_shingles,
+           n.n_shingles                          AS n_shingles,
+           round(count(*) / n.n_shingles, 6)     AS share_ratio
+    FROM tr JOIN ev USING (shingle) JOIN n ON n.doc_id = tr.doc_id
+    GROUP BY tr.doc_id, n.n_shingles
+    """,
+)
+def d21(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap, k=3 to match
+    the suite's shingle size): eval set = doc_id % 13 == 0 stands in for
+    the held-out benchmark; its distinct shingles are broadcast and the
+    training corpus streams through a map-side join — the corpus is never
+    shuffled, only the contaminated hits reach the per-doc aggregate."""
+    from logminer_kafka_connect_spark.operators.textops.contamination import (
+        decontaminate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 13 != 0),
+        docs.filter(F.col("doc_id") % 13 == 0),
+    )
+
+
+ORACLES["t26_pii_redact"] = _pii_oracle()
+
+
+# --------------------------------------------------------------------------
 # Rows-only entries (no SQL-expressible oracle): CDC replay, LSH ANN,
 # multimodal features
 # --------------------------------------------------------------------------

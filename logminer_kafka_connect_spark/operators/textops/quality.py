@@ -89,3 +89,58 @@ def doc_fingerprint(
     sh = shingles_expr(text_col, shingle_k)
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# PII-ish patterns, ordered: specific shapes first so the generic digit-run
+# rule cannot eat an IP/phone before its own rule sees it. Every pattern is
+# RE2-compatible (no backrefs/lookaround) so Spark's Java regex and the
+# DuckDB oracle's RE2 agree on every match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+    ("number", r"[0-9]+", "<NUM>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rule-based PII redaction (the C4/RefinedWeb cleanup step): each
+    pattern is counted before substitution, then replaced left-to-right in
+    PII_PATTERNS order. Pure ``regexp_count``/``regexp_replace`` chains —
+    JVM-side, codegen'd, shuffle-free; at 100 TB this is a narrow map over
+    the scan with the text column pruned straight out of parquet."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat)).alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(F.col(id_col), *counts, redacted.alias("redacted"))
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram-LM score (the CCNet/CCMatrix "perplexity bucket"
+    signal, reduced to unigrams so it needs no external model): two
+    aggregations over one exploded word stream — global word frequencies,
+    then per-doc mean log10 P(word). The frequency table is vocabulary-
+    sized (small even at 100 TB corpora — Heaps' law), so the second pass
+    is a broadcast hash join; the only full shuffle is the (word) count."""
+    words = df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "word", F.log10(F.col("c") / F.col("n")).alias("logp")
+    )
+    return (
+        words.join(F.broadcast(logp), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.round(F.avg("logp"), 4).alias("mean_logp"),
+        )
+    )

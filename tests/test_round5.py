@@ -218,3 +218,81 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     for lid in expected.index:
         e, g = expected.loc[lid], got.loc[lid]
         assert (pd.isna(e) and pd.isna(g)) or abs(e - g) < 1e-12, (lid, e, g)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / unigram LM / decontamination (textops additions)
+# ---------------------------------------------------------------------------
+def test_redact_pii_rule_precedence_and_counts(spark):
+    """Specific rules must consume their text before the generic digit-run
+    rule sees it: an IP is ONE <IP>, never four <NUM>s."""
+    from logminer_kafka_connect_spark.operators.textops.quality import redact_pii
+
+    rows = {
+        r["doc_id"]: r
+        for r in redact_pii(
+            spark.createDataFrame(
+                [
+                    (1, "mail a.b+c@ex-ample.org twice x@y.io end"),
+                    (2, "host 192.168.0.1 port 8080"),
+                    (3, "call +1 (415) 555-0199 now"),
+                    (4, "clean text only"),
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert (rows[1]["n_email"], rows[1]["redacted"]) == (
+        2, "mail <EMAIL> twice <EMAIL> end",
+    )
+    assert (rows[2]["n_ipv4"], rows[2]["n_number"]) == (1, 1)
+    assert rows[2]["redacted"] == "host <IP> port <NUM>"
+    assert rows[3]["n_phone"] == 1 and "<PHONE>" in rows[3]["redacted"]
+    assert rows[3]["n_number"] == 0  # the phone rule consumed every digit
+    assert rows[4]["redacted"] == "clean text only"
+    assert all(rows[4][f"n_{n}"] == 0 for n in ("email", "ipv4", "phone", "number"))
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """A doc of corpus-frequent words must score higher (less negative)
+    than a doc of corpus-unique words; probabilities must sum to 1 over
+    the frequency table."""
+    from logminer_kafka_connect_spark.operators.textops.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rare1 rare2 rare3 rare4"),
+            (3, "common common rare5 common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["mean_logp"] for r in unigram_logprob(df).collect()}
+    assert out[1] > out[3] > out[2]
+    # doc 1: all 'common' (7 of 12 words) -> mean_logp = log10(7/12)
+    import math
+
+    assert abs(out[1] - round(math.log10(7 / 12), 4)) < 1e-9
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from logminer_kafka_connect_spark.operators.textops.contamination import (
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares 'alpha beta gamma'
+            (2, "one two three four five"),     # disjoint
+            (3, "alpha beta gamma"),            # identical to an eval doc
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, evalset).collect()}
+    assert set(out) == {1, 3}  # doc 2 is clean and absent
+    assert out[3]["share_ratio"] == 1.0
+    assert out[1]["n_shared_shingles"] == 1 and out[1]["n_shingles"] == 2
