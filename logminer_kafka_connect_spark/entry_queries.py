@@ -1259,6 +1259,74 @@ def d21(spark, sf_dir):
 ORACLES["t26_pii_redact"] = _pii_oracle()
 
 
+@_q(
+    "d23_incremental_dedup",
+    f"""
+    WITH {_shingle_cte(3)},
+    shd AS (SELECT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 8))::bigint AS v1,
+                   ('0x' || substr(md5(shingle), 9, 8))::bigint AS v2
+            FROM sh),
+    sig AS (SELECT doc_id, {_MH_COLS} FROM shd GROUP BY doc_id),
+    bucket AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bucket a JOIN bucket b
+               ON a.band = b.band AND a.bkey = b.bkey
+             WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+              GROUP BY 1, 2)
+    SELECT c.id_a AS base_id, c.id_b AS delta_id,
+           round(i.n_inter / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes na ON na.doc_id = c.id_a
+    JOIN sizes nb ON nb.doc_id = c.id_b
+    WHERE round(i.n_inter / (na.n + nb.n - i.n_inter), 6) >= 0.2
+    """,
+)
+def d23(spark, sf_dir):
+    """Incremental (delta-vs-base) MinHash dedup — the CDC-ingest dedup
+    shape: the incoming batch's band buckets join ONLY against the
+    standing corpus's buckets, so no base-base or delta-delta pair is
+    ever generated and candidate volume scales with |delta|, not
+    |corpus|². Verification is the same candidate-bounded exact Jaccard
+    as d15. Base = doc_id % 4 != 0, delta = the rest."""
+    from logminer_kafka_connect_spark.operators.textops.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 4 != 0),
+        docs.filter(F.col("doc_id") % 4 == 0),
+    )
+
+
+@_q("d22_bloom_novelty")  # rows-only: a Bloom filter is approximate by design;
+# its guarantees (zero false negatives, bounded FP rate vs the exact
+# anti-join) are pinned in tests/test_round5.py
+def d22(spark, sf_dir):
+    """Bloom-filter novelty screen — zero-shuffle 'definitely never seen'
+    check of an incoming delta against the standing corpus: base texts
+    fold into per-partition numpy bitmaps (mapInPandas) OR-merged and
+    broadcast; the delta maps through it narrowly. Hashing is JVM md5."""
+    from logminer_kafka_connect_spark.operators.textops.bloom import (
+        build_bloom,
+        novelty_flags,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    bloom = build_bloom(base, "text")
+    return novelty_flags(delta.select("doc_id", "text"), bloom, "text").select(
+        "doc_id", "possibly_seen"
+    )
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (no SQL-expressible oracle): CDC replay, LSH ANN,
 # multimodal features

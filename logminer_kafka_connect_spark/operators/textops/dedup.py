@@ -101,13 +101,13 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 12,
     n_bands: int = 4,
 ) -> DataFrame:
-    """Band the signature; docs sharing any band bucket become candidates."""
+    """(id, band, bkey): one bucket row per band of the signature."""
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
@@ -118,9 +118,19 @@ def lsh_candidate_pairs(
         bands.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bkey"))
         )
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, "bb.band", "bb.bkey")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidates."""
+    buckets = band_buckets(signatures, id_col, n_hashes, n_bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -308,4 +318,53 @@ def embedding_near_dups(
             F.col(f"b.{id_col}").alias("id_b"),
             "cosine",
         )
+    )
+
+
+def incremental_minhash_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Delta-vs-base near-dup detection: which INCOMING documents
+    near-duplicate something already in the corpus.
+
+    The CDC-ingest dedup shape: a batch of changed/new pages (``delta``)
+    is checked against the standing corpus (``base``) without ever
+    generating base-base or delta-delta pairs — the candidate join is
+    strictly ``base_buckets ⋈ delta_buckets``, so candidate volume scales
+    with |delta| x bucket-collision-rate, not |corpus|². In a production
+    loop the base signatures are computed once and stored (they are a
+    per-doc aggregate, incrementally maintainable on merge); here they
+    are derived on the fly from the base frame.
+
+    Returns (base_id, delta_id, jaccard >= threshold) exact-verified
+    pairs, verification candidate-bounded via jaccard_pairs.
+    """
+    sig_b = minhash_signatures(base, id_col, text_col, n_hashes, shingle_k)
+    sig_d = minhash_signatures(delta, id_col, text_col, n_hashes, shingle_k)
+    bb = band_buckets(sig_b, id_col, n_hashes, n_bands).alias("b")
+    bd = band_buckets(sig_d, id_col, n_hashes, n_bands).alias("d")
+    cand = (
+        bb.join(
+            bd,
+            (F.col("b.band") == F.col("d.band")) & (F.col("b.bkey") == F.col("d.bkey")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("id_a"), F.col(f"d.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    both = base.select(id_col, text_col).unionByName(delta.select(id_col, text_col))
+    verified = jaccard_pairs(
+        both, pairs=cand, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+    return verified.select(
+        F.col("id_a").alias("base_id"), F.col("id_b").alias("delta_id"), "jaccard"
     )

@@ -296,3 +296,83 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert set(out) == {1, 3}  # doc 2 is clean and absent
     assert out[3]["share_ratio"] == 1.0
     assert out[1]["n_shared_shingles"] == 1 and out[1]["n_shingles"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom novelty + incremental dedup
+# ---------------------------------------------------------------------------
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every delta text present in base MUST be flagged possibly_seen
+    (bloom guarantee); FP rate vs the exact anti-join stays tiny at the
+    default sizing (2^23 bits / ~375 keys)."""
+    from logminer_kafka_connect_spark.operators.textops.bloom import (
+        build_bloom,
+        novelty_flags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    bloom = build_bloom(base, "text")
+    flags = {
+        r["doc_id"]: r["possibly_seen"]
+        for r in novelty_flags(delta.select("doc_id", "text"), bloom, "text").collect()
+    }
+    truly_seen = {
+        r["doc_id"]
+        for r in delta.join(
+            base.select("text").distinct(), "text", "left_semi"
+        ).collect()
+    }
+    for did in truly_seen:
+        assert flags[did], f"false negative on doc {did}"
+    fps = [d for d, seen in flags.items() if seen and d not in truly_seen]
+    n_novel = len(flags) - len(truly_seen)
+    assert n_novel > 0 and len(fps) <= max(1, 0.01 * n_novel), (len(fps), n_novel)
+
+
+def test_bloom_partition_invariant_and_tiny_filter_fps(spark):
+    """The merged bitmap is identical under any partitioning (OR is
+    commutative); an undersized filter shows FPs but still no FNs."""
+    from logminer_kafka_connect_spark.operators.textops.bloom import (
+        BloomFilter,
+        build_bloom,
+    )
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    base = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id") % 4 != 0
+    )
+    b1 = build_bloom(base, "text", n_bits=1 << 16)
+    b2 = build_bloom(base.repartition(7), "text", n_bits=1 << 16)
+    assert np.array_equal(b1.bits, b2.bits)
+
+    # 128-bit filter with ~375 keys saturates: everything reads "seen"
+    tiny = build_bloom(base, "text", n_bits=128, n_hashes=2)
+    assert tiny.bits.any()
+    probe = np.array([123456789], dtype=np.int64), np.array([987654321], dtype=np.int64)
+    sat = BloomFilter(bits=np.full(16, 255, dtype=np.uint8), n_bits=128, n_hashes=2)
+    assert sat.might_contain_positions(*probe).all()
+
+
+def test_incremental_dedup_matches_full_lsh_restriction(spark):
+    """d23's pairs == d15's full-corpus LSH pairs restricted to
+    (base, delta) orientation — the incremental path loses nothing on the
+    cross pairs it claims to cover."""
+    from logminer_kafka_connect_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r["base_id"], r["delta_id"]): r["jaccard"]
+        for r in QUERIES["d23_incremental_dedup"](spark, sf).collect()
+    }
+    full = {}
+    for r in QUERIES["d15_minhash_lsh"](spark, sf).collect():
+        a, b, j = r["id_a"], r["id_b"], r["jaccard"]
+        if a % 4 != 0 and b % 4 == 0:
+            full[(a, b)] = j
+        elif b % 4 != 0 and a % 4 == 0:
+            full[(b, a)] = j
+    assert inc == full and len(inc) > 0
