@@ -99,6 +99,16 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def _json_scalar(v):
+    """Manifest-safe min/max value: JSON-native types pass through, every
+    other type (timestamp, date, decimal) is stored as its string form —
+    which preserves ordering for ISO timestamps/dates, the cases that
+    matter for range pruning."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
 @dataclass
 class MergeStats:
     applied: bool
@@ -372,6 +382,7 @@ class SnapshotTable:
         key_cols: list[str],
         n_buckets: int = 32,
         column_defaults: dict[str, Any] | None = None,
+        stats_cols: list[str] | None = None,
         fs=None,
     ) -> "SnapshotTable":
         t = cls(path, fs=fs)
@@ -394,6 +405,10 @@ class SnapshotTable:
             # serial cost per merge and a POSIX-only code path)
             "data_columns": {},
             "renames": [],  # list of [old_physical_name, new_name]
+            # columns whose per-file [min, max] are recorded at write time
+            # (Iceberg data-file stats); data dir -> {col: [min, max]}
+            "stats_cols": stats_cols or [],
+            "file_stats": {},
             "column_defaults": column_defaults or {},
             "applied_batch_ids": [],
             "summary": {"total_rows": 0},
@@ -464,6 +479,85 @@ class SnapshotTable:
         meta = self.metadata(version)
         paths = sorted({p for b in buckets for p in meta["buckets"].get(str(b), [])})
         return self._read_paths(spark, paths, meta)
+
+    def _stat_aliases(self, col: str, meta: dict) -> set[str]:
+        """Physical names a stats column may be recorded under: files
+        written before a RENAME carry stats under the old physical name
+        (renames are metadata-only). Resolved transitively for chains."""
+        aliases = {col}
+        renames = meta.get("renames", [])
+        changed = True
+        while changed:
+            changed = False
+            for old, new in renames:
+                if new in aliases and old not in aliases:
+                    aliases.add(old)
+                    changed = True
+        return aliases
+
+    def prune_files(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Iceberg-style data-file skipping from manifest min/max stats:
+        partition the snapshot's data dirs into (kept, skipped) for the
+        range predicate ``lo <= col <= hi`` (either bound may be None).
+
+        Safety rules — stats are a pruning hint, never the filter:
+        - a file with NO recorded stats for the column is kept;
+        - a file whose min and max are both NULL holds no non-null value
+          of the column, and a range predicate can never select a NULL,
+          so it is skipped;
+        - otherwise skip iff the [min, max] interval is disjoint from
+          [lo, hi].
+
+        At 10^10-event scale this is the difference between touching every
+        bucket and touching the few whose SCN / url / lang range overlaps
+        the query — pure manifest arithmetic, no data IO."""
+        meta = self.metadata(version)
+        stats = meta.get("file_stats", {})
+        aliases = self._stat_aliases(col, meta)
+        paths = sorted({p for ps in meta["buckets"].values() for p in ps})
+        kept, skipped = [], []
+        for p in paths:
+            fstats = stats.get(p, {})
+            rng = next((fstats[a] for a in aliases if a in fstats), None)
+            if rng is None:
+                kept.append(p)
+                continue
+            mn, mx = rng
+            if mn is None and mx is None:
+                skipped.append(p)  # column is entirely NULL in this file
+            elif (lo is not None and mx is not None and mx < lo) or (
+                hi is not None and mn is not None and mn > hi
+            ):
+                skipped.append(p)
+            else:
+                kept.append(p)
+        return kept, skipped
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with manifest min/max file skipping for
+        ``lo <= col <= hi``; the predicate is ALSO applied to the surviving
+        rows, so results never depend on stats correctness."""
+        meta = self.metadata(version)
+        kept, _ = self.prune_files(col, lo, hi, version)
+        df = self._read_paths(spark, kept, meta)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int] | None:
         """Buckets whose data-file lists differ between two versions.
@@ -547,15 +641,25 @@ class SnapshotTable:
         )
 
     # ---------------------------------------------------------------- write
-    def _write_buckets(self, df: DataFrame, version: int, pre_partitioned: bool = False) -> dict[str, list[str]]:
+    def _write_buckets(
+        self, df: DataFrame, version: int, pre_partitioned: bool = False
+    ) -> tuple[dict[str, list[str]], dict[str, dict[str, list]]]:
         """Write df (must carry BUCKET_COL) partitioned by bucket; return
-        bucket -> [path] for the buckets that received rows.
+        (bucket -> [path], path -> per-column [min, max] stats) for the
+        buckets that received rows.
 
         Rows are shuffled onto the bucket id first so each task holds one
         (or few) buckets — otherwise the dynamic-partition writer makes
         every task sort by bucket and open a file per bucket (tasks ×
         buckets small files + per-task sorts; measured as the dominant
-        non-scaling cost of MERGE)."""
+        non-scaling cost of MERGE).
+
+        Stats (when the table was created with ``stats_cols``) come from
+        ONE narrow aggregation over the freshly written commit dir:
+        parquet column pruning means the job reads only the stats columns,
+        so cost is proportional to stats-col bytes, not row width (Iceberg
+        gets the same numbers free from its writer; this is the
+        engine-level equivalent at one cheap extra job)."""
         out_dir = os.path.join(self._data_dir, f"commit-{version:06d}-{uuid.uuid4().hex[:8]}")
         if not pre_partitioned:
             df = df.repartition(self.metadata()["n_buckets"], F.col(BUCKET_COL))
@@ -570,7 +674,29 @@ class SnapshotTable:
                 if name.startswith(f"{BUCKET_COL}="):
                     b = name.split("=", 1)[1]
                     mapping[b] = [os.path.join(out_dir, name)]
-        return mapping
+
+        stats: dict[str, dict[str, list]] = {}
+        stats_cols = [
+            c for c in self.metadata().get("stats_cols", []) if c in df.columns
+        ]
+        if mapping and stats_cols:
+            rows = (
+                df.sparkSession.read.parquet(out_dir)
+                .groupBy(BUCKET_COL)
+                .agg(
+                    *[F.min(c).alias(f"min_{c}") for c in stats_cols],
+                    *[F.max(c).alias(f"max_{c}") for c in stats_cols],
+                )
+                .collect()
+            )
+            for r in rows:
+                b = str(r[BUCKET_COL])
+                if b in mapping:
+                    stats[mapping[b][0]] = {
+                        c: [_json_scalar(r[f"min_{c}"]), _json_scalar(r[f"max_{c}"])]
+                        for c in stats_cols
+                    }
+        return mapping, stats
 
     @_with_writer_lock
     def overwrite(self, df: DataFrame, batch_id: str | None = None) -> MergeStats:
@@ -582,7 +708,7 @@ class SnapshotTable:
         schema = T.StructType.fromJson(meta["schema"])
         out = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         out = out.withColumn(BUCKET_COL, _bucket_expr(meta["key_cols"], meta["n_buckets"]))
-        buckets = self._write_buckets(out, version)
+        buckets, file_stats = self._write_buckets(out, version)
         written_cols = [f.name for f in schema.fields]
         data_columns = {
             p: written_cols for paths in buckets.values() for p in paths
@@ -594,6 +720,7 @@ class SnapshotTable:
             timestamp=time.time(),
             buckets=buckets,
             data_columns=data_columns,
+            file_stats=file_stats,
             batch_id=batch_id,
             **self._advance_applied(meta, batch_id, None),
         )
@@ -723,7 +850,9 @@ class SnapshotTable:
             if timing:
                 print(f"## merge: plan build {time.time() - t0:.2f}s", flush=True)
                 t0 = time.time()
-            new_buckets_map = self._write_buckets(merged_df, version, pre_partitioned=True)
+            new_buckets_map, new_file_stats = self._write_buckets(
+                merged_df, version, pre_partitioned=True
+            )
             if timing:
                 print(f"## merge: write job {time.time() - t0:.2f}s", flush=True)
                 t0 = time.time()
@@ -762,6 +891,12 @@ class SnapshotTable:
         for paths in new_buckets_map.values():
             for p in paths:
                 data_columns[p] = data_cols
+        # untouched buckets carry their file stats forward verbatim (same
+        # carry rule as data_columns); rewritten buckets get fresh stats
+        file_stats = {
+            p: s for p, s in meta.get("file_stats", {}).items() if p in live
+        }
+        file_stats.update(new_file_stats)
         new_meta = dict(meta)
         new_meta.update(
             version=version,
@@ -769,6 +904,7 @@ class SnapshotTable:
             timestamp=time.time(),
             buckets=buckets,
             data_columns=data_columns,
+            file_stats=file_stats,
             batch_id=batch_id,
             summary={"source_rows": n_src, "affected_buckets": len(affected)},
             **self._advance_applied(meta, batch_id, scn_hi),
@@ -816,6 +952,12 @@ class SnapshotTable:
         defaults = dict(meta.get("column_defaults", {}))
         if old in defaults:
             defaults[new] = defaults.pop(old)
+        # stats_cols follows the rename so future writes keep recording
+        # stats; already-written files keep theirs under the old physical
+        # name (prune_files resolves via _stat_aliases)
+        new_meta["stats_cols"] = [
+            new if c == old else c for c in meta.get("stats_cols", [])
+        ]
         new_meta.update(
             version=meta["version"] + 1,
             operation="rename_column",
@@ -872,7 +1014,7 @@ class SnapshotTable:
             BUCKET_COL, _bucket_expr(meta["key_cols"], n_buckets)
         )
         out = out.repartition(n_buckets, F.col(BUCKET_COL))
-        buckets = self._write_buckets(out, version, pre_partitioned=True)
+        buckets, file_stats = self._write_buckets(out, version, pre_partitioned=True)
         written_cols = [f.name for f in schema.fields]
         new_meta = dict(meta)
         new_meta.update(
@@ -882,6 +1024,7 @@ class SnapshotTable:
             n_buckets=n_buckets,
             buckets=buckets,
             data_columns={p: written_cols for ps in buckets.values() for p in ps},
+            file_stats=file_stats,
         )
         self._commit(new_meta)
         return {

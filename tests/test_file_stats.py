@@ -1,0 +1,171 @@
+"""Per-file min/max column stats + manifest-based file skipping
+(Iceberg data-file stats / `lower_bounds`-`upper_bounds` parity for the
+from-scratch lake table)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logminer_kafka_connect_spark.plans.lakehouse import (
+    BUCKET_COL,
+    OP_COL,
+    SET_COLS_COL,
+    SnapshotTable,
+    _bucket_expr,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("scn", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+N_BUCKETS = 4
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="lmkc-stats-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mktable(tdir):
+    return SnapshotTable.create(
+        f"{tdir}/t", SCHEMA, ["url"], n_buckets=N_BUCKETS, stats_cols=["scn", "lang"]
+    )
+
+
+def _bucketed_rows(spark, n=200, scn_base=0):
+    """scn is bucket-correlated (scn = bucket*1000 + i + scn_base) so each
+    data file's scn range is provably disjoint from every other bucket's."""
+    df = spark.range(n).select(
+        F.concat(F.lit("https://ex.com/p"), F.col("id")).alias("url"),
+        F.col("id").alias("i"),
+    )
+    b = _bucket_expr(["url"], N_BUCKETS)
+    return df.select(
+        "url",
+        (b.cast("long") * 1000 + F.col("i") + scn_base).alias("scn"),
+        F.when(b == 0, F.lit(None).cast("string")).otherwise(F.lit("en")).alias("lang"),
+    )
+
+
+def test_overwrite_records_disjoint_scn_ranges_and_prunes(spark, tdir):
+    t = _mktable(tdir)
+    t.overwrite(_bucketed_rows(spark))
+    meta = t.metadata()
+    assert meta["stats_cols"] == ["scn", "lang"]
+    paths = sorted({p for ps in meta["buckets"].values() for p in ps})
+    assert paths and all(p in meta["file_stats"] for p in paths)
+
+    # predicate inside bucket 2's range keeps exactly one file
+    kept, skipped = t.prune_files("scn", 2000, 2999)
+    assert len(kept) == 1 and len(skipped) == len(paths) - 1
+
+    # and the pruned read equals the unpruned filtered read
+    full = t.read(spark).filter(F.col("scn").between(2000, 2999))
+    pruned = t.read_pruned(spark, "scn", 2000, 2999)
+    assert sorted(r["url"] for r in pruned.collect()) == sorted(
+        r["url"] for r in full.collect()
+    )
+    assert pruned.count() > 0
+
+
+def test_all_null_stats_file_is_skipped(spark, tdir):
+    """bucket 0's lang is entirely NULL -> [None, None] stats -> skippable
+    under any range predicate (a range never selects NULL)."""
+    t = _mktable(tdir)
+    t.overwrite(_bucketed_rows(spark))
+    meta = t.metadata()
+    null_paths = [
+        p for p, s in meta["file_stats"].items() if s["lang"] == [None, None]
+    ]
+    assert len(null_paths) == 1  # bucket 0 exists in a 200-row sample
+    kept, skipped = t.prune_files("lang", "en", "en")
+    assert null_paths[0] in skipped
+    assert t.read_pruned(spark, "lang", "en", "en").count() == t.read(spark).filter(
+        F.col("lang") == "en"
+    ).count()
+
+
+def test_merge_carries_untouched_stats_and_refreshes_touched(spark, tdir):
+    t = _mktable(tdir)
+    t.overwrite(_bucketed_rows(spark))
+    before = t.metadata()["file_stats"]
+
+    # merge one upsert for a single url -> exactly one bucket rewritten
+    src = spark.createDataFrame(
+        [("https://ex.com/p7", 999_999, "de")], "url string, scn long, lang string"
+    ).select(
+        "url", "scn", "lang",
+        F.lit("u").alias(OP_COL),
+        F.lit(None).cast("array<string>").alias(SET_COLS_COL),
+    )
+    stats = t.merge(spark, src, batch_id="b1")
+    assert stats.applied and stats.affected_buckets == 1
+    after = t.metadata()["file_stats"]
+
+    touched_bucket = str(
+        spark.createDataFrame([("https://ex.com/p7",)], "url string")
+        .select(_bucket_expr(["url"], N_BUCKETS).alias("b"))
+        .collect()[0]["b"]
+    )
+    new_path = t.metadata()["buckets"][touched_bucket][0]
+    assert after[new_path]["scn"][1] == 999_999  # fresh stats see the upsert
+    for p, s in before.items():
+        if p in after and p != new_path:
+            assert after[p] == s  # untouched buckets carried forward verbatim
+
+    # pruning on the new high scn finds only the rewritten file
+    kept, _ = t.prune_files("scn", 999_999, None)
+    assert kept == [new_path]
+    rows = t.read_pruned(spark, "scn", 999_999).collect()
+    assert [r["url"] for r in rows] == ["https://ex.com/p7"]
+
+
+def test_rename_keeps_old_stats_usable_and_records_new(spark, tdir):
+    t = _mktable(tdir)
+    t.overwrite(_bucketed_rows(spark))
+    t.rename_column("scn", "scn2")
+    assert "scn2" in t.metadata()["stats_cols"]
+
+    # old files' stats (recorded under 'scn') still prune scn2 predicates
+    kept, skipped = t.prune_files("scn2", 2000, 2999)
+    assert len(kept) == 1 and skipped
+    assert t.read_pruned(spark, "scn2", 2000, 2999).count() > 0
+
+    # a post-rename merge records stats under the new name
+    src = spark.createDataFrame(
+        [("https://ex.com/new", 5_000_000, "fr")],
+        "url string, scn2 long, lang string",
+    ).select(
+        "url", "scn2", "lang",
+        F.lit("u").alias(OP_COL),
+        F.lit(None).cast("array<string>").alias(SET_COLS_COL),
+    )
+    assert t.merge(spark, src, batch_id="b2").applied
+    kept, _ = t.prune_files("scn2", 5_000_000, None)
+    assert len(kept) == 1
+    assert [r["url"] for r in t.read_pruned(spark, "scn2", 5_000_000).collect()] == [
+        "https://ex.com/new"
+    ]
+
+
+def test_missing_stats_files_are_kept(spark, tdir):
+    """A table created WITHOUT stats_cols records nothing and prunes
+    nothing — every file is kept for any predicate (safety default)."""
+    t = SnapshotTable.create(f"{tdir}/nostat", SCHEMA, ["url"], n_buckets=N_BUCKETS)
+    t.overwrite(_bucketed_rows(spark))
+    meta = t.metadata()
+    assert meta["file_stats"] == {}
+    paths = sorted({p for ps in meta["buckets"].values() for p in ps})
+    kept, skipped = t.prune_files("scn", 0, 1)
+    assert kept == paths and skipped == []
