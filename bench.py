@@ -108,6 +108,11 @@ HEADLINE = [
     "w27_session_windows",
     "a08s_value_percentiles_sketch",
     "mm_jpeg_decode",
+    "j14_asof_join",
+    "t27_unigram_logprob",
+    "d21_decontaminate",
+    "d22_bloom_novelty",
+    "d23_incremental_dedup",
 ]
 
 

@@ -40,6 +40,13 @@ SHOW = [
     "w26_event_windows",
     "w27_session_windows",
     "a08s_value_percentiles_sketch",
+    # round-5 additions: broadcast-side decontamination, as-of union-scan,
+    # one-pass ROLLUP (Expand), delta-vs-base LSH
+    "j14_asof_join",
+    "a11_rollup_stats",
+    "t27_unigram_logprob",
+    "d21_decontaminate",
+    "d23_incremental_dedup",
 ]
 
 
