@@ -383,6 +383,7 @@ class SnapshotTable:
         n_buckets: int = 32,
         column_defaults: dict[str, Any] | None = None,
         stats_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
         fs=None,
     ) -> "SnapshotTable":
         t = cls(path, fs=fs)
@@ -409,6 +410,12 @@ class SnapshotTable:
             # (Iceberg data-file stats); data dir -> {col: [min, max]}
             "stats_cols": stats_cols or [],
             "file_stats": {},
+            # within-file clustering: rows of every data file are written
+            # sorted by these columns, so parquet ROW-GROUP min/max stats
+            # become tight and scan-level predicate pushdown skips row
+            # groups INSIDE the files that manifest pruning keeps — the
+            # two-level Iceberg skipping story (file stats + sort order)
+            "sort_cols": sort_cols or [],
             "column_defaults": column_defaults or {},
             "applied_batch_ids": [],
             "summary": {"total_rows": 0},
@@ -661,8 +668,16 @@ class SnapshotTable:
         gets the same numbers free from its writer; this is the
         engine-level equivalent at one cheap extra job)."""
         out_dir = os.path.join(self._data_dir, f"commit-{version:06d}-{uuid.uuid4().hex[:8]}")
+        meta = self.metadata()
         if not pre_partitioned:
-            df = df.repartition(self.metadata()["n_buckets"], F.col(BUCKET_COL))
+            df = df.repartition(meta["n_buckets"], F.col(BUCKET_COL))
+        sort_cols = [c for c in meta.get("sort_cols", []) if c in df.columns]
+        if sort_cols:
+            # task-local sort (no shuffle): each task's rows come out
+            # clustered by (bucket, sort_cols), so the dynamic-partition
+            # writer emits every data file with monotone sort columns and
+            # tight per-row-group min/max
+            df = df.sortWithinPartitions(BUCKET_COL, *sort_cols)
         (
             df.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -676,9 +691,7 @@ class SnapshotTable:
                     mapping[b] = [os.path.join(out_dir, name)]
 
         stats: dict[str, dict[str, list]] = {}
-        stats_cols = [
-            c for c in self.metadata().get("stats_cols", []) if c in df.columns
-        ]
+        stats_cols = [c for c in meta.get("stats_cols", []) if c in df.columns]
         if mapping and stats_cols:
             rows = (
                 df.sparkSession.read.parquet(out_dir)
@@ -957,6 +970,9 @@ class SnapshotTable:
         # name (prune_files resolves via _stat_aliases)
         new_meta["stats_cols"] = [
             new if c == old else c for c in meta.get("stats_cols", [])
+        ]
+        new_meta["sort_cols"] = [
+            new if c == old else c for c in meta.get("sort_cols", [])
         ]
         new_meta.update(
             version=meta["version"] + 1,

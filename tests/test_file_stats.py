@@ -169,3 +169,47 @@ def test_missing_stats_files_are_kept(spark, tdir):
     paths = sorted({p for ps in meta["buckets"].values() for p in ps})
     kept, skipped = t.prune_files("scn", 0, 1)
     assert kept == paths and skipped == []
+
+
+def test_sort_cols_cluster_rows_within_files(spark, tdir):
+    """sort_cols writes every data file with monotone sort columns — the
+    within-file half of the skipping story: parquet row-group min/max
+    become tight, so scans skip row groups inside kept files. Verified
+    directly against the written parquet (pyarrow), not via Spark."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = SnapshotTable.create(
+        f"{tdir}/sorted", SCHEMA, ["url"], n_buckets=N_BUCKETS,
+        stats_cols=["scn"], sort_cols=["scn"],
+    )
+    # shuffle the input ordering hard so sortedness can only come from
+    # the writer's task-local sort
+    t.overwrite(_bucketed_rows(spark, n=400).orderBy(F.md5("url")))
+    meta = t.metadata()
+    n_files = 0
+    for paths in meta["buckets"].values():
+        for d in paths:
+            for f in glob.glob(f"{d}/*.parquet"):
+                col = pq.read_table(f, columns=["scn"])["scn"].to_pylist()
+                assert col == sorted(col), f"unsorted file {f}"
+                n_files += 1
+    assert n_files >= N_BUCKETS
+
+    # merge path keeps the sort (pre_partitioned branch)
+    src = spark.createDataFrame(
+        [(f"https://ex.com/p{i}", 50_000 + i, "en") for i in range(0, 400, 7)],
+        "url string, scn long, lang string",
+    ).select(
+        "url", "scn", "lang",
+        F.lit("u").alias(OP_COL),
+        F.lit(None).cast("array<string>").alias(SET_COLS_COL),
+    )
+    assert t.merge(spark, src, batch_id="bs").applied
+    meta = t.metadata()
+    for paths in meta["buckets"].values():
+        for d in paths:
+            for f in glob.glob(f"{d}/*.parquet"):
+                col = pq.read_table(f, columns=["scn"])["scn"].to_pylist()
+                assert col == sorted(col), f"unsorted post-merge file {f}"
