@@ -1116,6 +1116,40 @@ def j14(spark, sf_dir):
 
 
 @_q(
+    "j15_range_join",
+    """
+    WITH bands AS (SELECT b, 2.0 * b * b AS lo, 2.0 * (b + 1) * (b + 1) AS hi
+                   FROM range(15) t(b))
+    SELECT b AS band,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN bands ON e.value >= bands.lo AND e.value < bands.hi
+    GROUP BY 1
+    """,
+)
+def j15(spark, sf_dir):
+    """Interval join (J3's SCN->log-file lookup generalized): events fall
+    into quadratic-width value bands through operators/rangejoin.py — the
+    inequality join rewritten as a broadcast equi-join on grid cells with
+    an exact containment post-filter, instead of the
+    BroadcastNestedLoopJoin Spark plans for a naive non-equi spelling
+    (O(|L| x |R|) comparisons at scale)."""
+    from logminer_kafka_connect_spark.operators.rangejoin import range_join
+
+    bands = spark.range(15).select(
+        F.col("id").alias("b"),
+        (2.0 * F.col("id") * F.col("id")).alias("lo"),
+        (2.0 * (F.col("id") + 1) * (F.col("id") + 1)).alias("hi"),
+    )
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    joined = range_join(ev, bands, point_col="value", lo_col="lo", hi_col="hi", cell=16.0)
+    return joined.groupBy(F.col("b").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@_q(
     "u09_set_cohorts",
     """
     SELECT user_id, 'click_only' AS cohort FROM (
@@ -1257,6 +1291,50 @@ def d21(spark, sf_dir):
 
 
 ORACLES["t26_pii_redact"] = _pii_oracle()
+
+
+@_q(
+    "a10_heavy_hitters",
+    """
+    WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS item
+               FROM documents)
+    SELECT item, count(*) AS n FROM w
+    GROUP BY item ORDER BY n DESC, item LIMIT 20
+    """,
+)
+def a10(spark, sf_dir):
+    """Exact top-k frequent words: one full (item) groupBy — the shuffle
+    is vocabulary-wide, which is the cost a10s's sketch path avoids.
+    Total order (n desc, item) makes the LIMIT deterministic under
+    ties in both engines."""
+    from logminer_kafka_connect_spark.operators.textops.dedup import words_expr
+    from logminer_kafka_connect_spark.operators.textops.heavy_hitters import (
+        exact_top_k,
+    )
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(words_expr("text")).alias("item")
+    )
+    return exact_top_k(words, "item", 20)
+
+
+@_q("a10s_heavy_hitters_sketch")  # rows-only: MG partials are partition-
+# order-dependent internally; the final answer's equality with a10 and the
+# MG superset guarantee are pinned in tests/test_round5.py
+def a10s(spark, sf_dir):
+    """Misra-Gries heavy hitters: per-partition counter summaries (narrow
+    mapInPandas), mergeable-summaries combine, then an exact recount of
+    the surviving candidates via broadcast semi-join — only candidate
+    occurrences ever reach a shuffle."""
+    from logminer_kafka_connect_spark.operators.textops.dedup import words_expr
+    from logminer_kafka_connect_spark.operators.textops.heavy_hitters import (
+        heavy_hitters_sketch,
+    )
+
+    words = t(spark, sf_dir, "documents").select(
+        F.explode(words_expr("text")).alias("item")
+    )
+    return heavy_hitters_sketch(words, "item", 20)
 
 
 @_q(

@@ -376,3 +376,103 @@ def test_incremental_dedup_matches_full_lsh_restriction(spark):
         elif b % 4 != 0 and a % 4 == 0:
             full[(b, a)] = j
     assert inc == full and len(inc) > 0
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join operator
+# ---------------------------------------------------------------------------
+def test_range_join_boundaries_and_overlaps(spark):
+    from logminer_kafka_connect_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 15.5), (4, 20.0), (5, 99.0)],
+        "pid long, p double",
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 15.0, 30.0), ("d", 50.0, 50.0)],
+        "name string, lo double, hi double",
+    )
+    out = sorted(
+        (r["pid"], r["name"])
+        for r in range_join(pts, ivs, "p", "lo", "hi", cell=8.0).collect()
+    )
+    # half-open: p=10 is in b not a; p=20 in c only; overlapping c+b at 15.5;
+    # empty interval d matches nothing; p=99 matches nothing
+    assert out == [(1, "a"), (2, "b"), (3, "b"), (3, "c"), (4, "c")]
+
+
+def test_range_join_matches_nested_loop_and_is_hash_join(spark):
+    from logminer_kafka_connect_spark.operators.rangejoin import range_join
+
+    rng = np.random.RandomState(11)
+    pts = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 1000, 400))],
+        "pid long, p double",
+    )
+    lo = rng.uniform(0, 950, 60)
+    ivs = spark.createDataFrame(
+        [
+            (int(i), float(l), float(l + w))
+            for i, (l, w) in enumerate(zip(lo, rng.uniform(1, 120, 60)))
+        ],
+        "iid long, lo double, hi double",
+    )
+    got = range_join(pts, ivs, "p", "lo", "hi", cell=32.0)
+    expect = pts.join(
+        ivs, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+    )
+    assert sorted((r["pid"], r["iid"]) for r in got.collect()) == sorted(
+        (r["pid"], r["iid"]) for r in expect.collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries sketch + exact recount)
+# ---------------------------------------------------------------------------
+def test_heavy_hitters_sketch_equals_exact_on_corpus(spark):
+    from logminer_kafka_connect_spark.entry_queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = [
+            (r["item"], r["n"]) for r in QUERIES["a10_heavy_hitters"](spark, sf).collect()
+        ]
+        sketch = [
+            (r["item"], r["n"])
+            for r in QUERIES["a10s_heavy_hitters_sketch"](spark, sf).collect()
+        ]
+        assert sketch == exact and len(exact) == 20
+
+
+def test_mg_superset_guarantee_with_tiny_counters(spark):
+    """MG contract: every item with true count > n/(n_counters+1) must
+    survive the sketch even when counters are scarce; counts are exact
+    after the recount. Uses a skewed synthetic stream and n_counters=4."""
+    from logminer_kafka_connect_spark.operators.textops.heavy_hitters import (
+        heavy_hitters_sketch,
+    )
+
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 200
+        + [(f"cold{i}",) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    out = {
+        r["item"]: r["n"]
+        for r in heavy_hitters_sketch(df, "item", k=4, n_counters=4).collect()
+    }
+    n = len(rows)
+    # threshold n/(k+1) = 200 -> 'hot' (500) guaranteed; counts exact
+    assert out["hot"] == 500
+    assert all(v == {"hot": 500, "warm": 200}.get(k_, v) for k_, v in out.items())
+
+
+def test_mg_merge_bounds_counter_count():
+    from logminer_kafka_connect_spark.operators.textops.heavy_hitters import mg_merge
+
+    counts = {f"i{j}": j + 1 for j in range(10)}
+    merged = mg_merge(dict(counts), 3)
+    assert len(merged) <= 3
+    # survivors are the largest, decremented by the 4th-largest (7)
+    assert merged == {"i9": 3, "i8": 2, "i7": 1}
