@@ -940,7 +940,7 @@ def w26(spark, sf_dir):
     WITH o AS (
       SELECT event_type, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY ts)
@@ -951,7 +951,7 @@ def w26(spark, sf_dir):
       FROM o
     )
     SELECT min(ts)                          AS session_start,
-           max(ts) + INTERVAL '30 minutes'  AS session_end,
+           max(ts) + INTERVAL '5 minutes'   AS session_end,
            event_type,
            count(*)                         AS n_events,
            round(sum(value), 4)             AS sum_value
@@ -960,7 +960,10 @@ def w26(spark, sf_dir):
 )
 def w27(spark, sf_dir):
     """Gap-based session windows (F.session_window): a session per
-    event_type extends while consecutive events arrive <= 30 min apart
+    event_type extends while consecutive events arrive <= 5 min apart
+    (5 min, not 30: at sf0.1 a 30-min gap collapses the dense event
+    stream to one session per type — ~10k sessions make the windowed
+    state management actually measurable)
     (merge is inclusive at exactly the gap — measured on Spark 4.1 and
     pinned in tests/test_windows.py) and closes at last_ts + gap. The
     oracle is the classic lag/gap-sum sessionization (break when the gap
@@ -968,7 +971,7 @@ def w27(spark, sf_dir):
     breaks into session ids)."""
     from logminer_kafka_connect_spark.streaming.windows import session_event_stats
 
-    return session_event_stats(t(spark, sf_dir, "events"), gap="30 minutes")
+    return session_event_stats(t(spark, sf_dir, "events"), gap="5 minutes")
 
 
 # --------------------------------------------------------------------------
