@@ -140,3 +140,33 @@ def run_compaction_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Streaming exactly-once de-duplication of redelivered events
+    (``dropDuplicatesWithinWatermark``): the first arrival of each key
+    wins; any re-arrival while the key can still legally reappear (inside
+    the watermark) is dropped.
+
+    This is the streaming guard for at-least-once upstream transports
+    (the reference connector's Kafka Connect frame redelivers on task
+    restart — ``SourceTaskTest.kt``'s offset-resume tests are the batch
+    analog; the MERGE path absorbs duplicates idempotently, this absorbs
+    them before they reach any non-idempotent consumer).
+
+    Why the watermark variant and not plain ``dropDuplicates``: unbounded
+    streaming dedup state grows O(all keys ever); within-watermark state
+    is O(keys per watermark window) — the only shape that survives a
+    10^10-event stream. The trade is explicit: a duplicate arriving
+    later than the watermark delay is no longer caught (CDC redelivery
+    happens on restart within seconds-to-minutes; size the delay to the
+    transport's redelivery horizon, not to eternity).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

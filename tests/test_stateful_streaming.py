@@ -177,3 +177,61 @@ def test_streaming_plan_uses_state_store(spark, tmpdir_path):
     assert compacted.isStreaming
     plan = compacted._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark redelivery guard
+# ---------------------------------------------------------------------------
+def test_dedup_within_watermark_drops_redelivered_events(spark, tmpdir_path):
+    """Redeliveries of the same (k, ord) across triggers are absorbed;
+    distinct orderings for a key all pass (it is an event dedup, not a
+    key compactor)."""
+    from datetime import datetime, timedelta
+
+    from logminer_kafka_connect_spark.streaming.stateful import dedup_within_watermark
+
+    d = os.path.join(tmpdir_path, "dedup-src")
+    os.makedirs(d, exist_ok=True)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    ts_schema = "k long, ord long, ts timestamp"
+
+    def write_batch(i, rows):
+        sub = os.path.join(d, f"stage-{i}")
+        spark.createDataFrame(rows, ts_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"batch-{i}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        import shutil
+
+        shutil.rmtree(sub, ignore_errors=True)
+
+    # trigger 0: two events + one intra-trigger duplicate
+    write_batch(0, [(1, 10, t0), (1, 10, t0), (2, 20, t0 + timedelta(seconds=1))])
+    # trigger 1: cross-trigger redelivery of (1,10) + a genuinely new ord
+    write_batch(1, [(1, 10, t0), (1, 11, t0 + timedelta(seconds=2))])
+
+    stream = (
+        spark.readStream.schema(ts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    deduped = dedup_within_watermark(stream, ["k", "ord"], "ts", "10 minutes")
+    name = f"dd_{uuid.uuid4().hex[:10]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["ord"]) for r in spark.sql(f"select * from {name}").collect()
+    )
+    assert got == [(1, 10), (1, 11), (2, 20)]
+
+    sq_plan = deduped._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in sq_plan
