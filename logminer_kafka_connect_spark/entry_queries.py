@@ -974,6 +974,48 @@ def w27(spark, sf_dir):
     return session_event_stats(t(spark, sf_dir, "events"), gap="5 minutes")
 
 
+@_q(
+    "n20_kmeans_step",
+    """
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv,
+                    sqrt(list_aggregate(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS cnorm
+                  FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, embedding,
+            sqrt(list_aggregate(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS vnorm
+          FROM embeddings),
+    asgn AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT v.vec_id, v.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 (list_aggregate(list_transform(list_zip(v.embedding, c.cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') / (v.vnorm * c.cnorm)) DESC,
+                 c.centroid_id ASC) AS rn
+        FROM v CROSS JOIN cent c)
+      WHERE rn = 1),
+    expl AS (SELECT cluster,
+                    unnest(embedding) AS val,
+                    unnest(range(len(embedding))) AS dim
+             FROM asgn)
+    SELECT cluster, dim,
+           count(*) AS n_vectors,
+           round(avg(CAST(val AS DOUBLE)), 5) AS mean_val
+    FROM expl GROUP BY 1, 2
+    """,
+)
+def n20(spark, sf_dir):
+    """One Lloyd step of spherical k-means as a relational plan (the
+    iterative-ML shape): nearest-centroid assignment reuses the IVF
+    broadcast join (same CTEs as n19's oracle), new centroid coordinates
+    come from posexplode + one (cluster, dim) partial-agg shuffle — a
+    skewed giant cluster still spreads over dims x partitions. The
+    driver-side iteration loop (operators/textops/similarity.py::
+    spherical_kmeans) round-trips only k x dim floats per step."""
+    from logminer_kafka_connect_spark.operators.textops.similarity import kmeans_step
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    return kmeans_step(emb, cent)
+
+
 # --------------------------------------------------------------------------
 # Multi-dimensional aggregation (A-family extensions): ROLLUP + pivot
 # --------------------------------------------------------------------------

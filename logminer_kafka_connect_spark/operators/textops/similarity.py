@@ -313,3 +313,93 @@ def lsh_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def kmeans_step(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd step of spherical k-means, as a relational plan: assign
+    every vector to its nearest centroid (max cosine, reusing the IVF
+    assignment join — broadcast centroids, one linear pass), then compute
+    the per-(cluster, dim) mean via posexplode + one partial-agg shuffle
+    keyed on (cluster, dim).
+
+    Returns (cluster, dim, n_vectors, mean_val) — the un-normalized new
+    centroid coordinates in long form (n_vectors repeats per dim). Long
+    form keeps the whole step SQL-expressible (the DuckDB oracle zips
+    unnest(embedding) with unnest(range(len))) and the shuffle key
+    (cluster, dim) fine-grained enough that even a heavily skewed cluster
+    spreads over dims x partitions."""
+    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+    expl = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    return expl.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(F.col("val").cast("double")), 5).alias("mean_val"),
+    )
+
+
+def spherical_kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Iterated Lloyd steps (spherical k-means: means are re-normalized
+    by the cosine in the next assignment). Centroids round-trip through
+    the driver between iterations — k x dim floats, a few KB; the data
+    never leaves the cluster. Returns (final centroids DataFrame,
+    per-iteration mean within-cluster cosine list)."""
+    spark = emb.sparkSession
+    cent = emb.filter(F.col(id_col) < k).select(id_col, vec_col)
+    history: list[float] = []
+    for _ in range(n_iter):
+        assigned = assign_ivf_clusters(emb, cent, id_col, vec_col)
+        # objective: mean cosine of each vector to its centroid
+        c = with_norm(cent, id_col, vec_col).select(
+            F.col(id_col).alias("cluster"),
+            F.col(vec_col).alias("cv"),
+            F.col("_norm").alias("cnorm"),
+        )
+        vnorm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        v = assigned.select(id_col, vec_col, "cluster", vnorm.alias("_norm"))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("cv"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        scored = v.join(F.broadcast(c), ["cluster"])
+        history.append(
+            scored.select(
+                F.avg(dot / (F.col("_norm") * F.col("cnorm"))).alias("o")
+            ).collect()[0]["o"]
+        )
+        means = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        ).groupBy("cluster", "dim").agg(
+            F.round(F.avg(F.col("val").cast("double")), 5).alias("mean_val")
+        )
+        rows = means.collect()
+        by_c: dict[int, list] = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], []).append((r["dim"], r["mean_val"]))
+        data = [
+            (int(cid), [float(m) for _, m in sorted(dims)])
+            for cid, dims in sorted(by_c.items())
+        ]
+        cent = spark.createDataFrame(data, f"{id_col} long, {vec_col} array<float>")
+    return cent, history

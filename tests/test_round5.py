@@ -476,3 +476,30 @@ def test_mg_merge_bounds_counter_count():
     assert len(merged) <= 3
     # survivors are the largest, decremented by the 4th-largest (7)
     assert merged == {"i9": 3, "i8": 2, "i7": 1}
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means iteration
+# ---------------------------------------------------------------------------
+def test_spherical_kmeans_objective_non_decreasing(spark):
+    """Mean within-cluster cosine must not decrease across Lloyd steps
+    (spherical k-means ascent property; tiny epsilon for the 5-decimal
+    centroid rounding), and cluster counts must cover the corpus."""
+    from logminer_kafka_connect_spark.operators.textops.similarity import (
+        kmeans_step,
+        spherical_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent, hist = spherical_kmeans(emb, k=8, n_iter=3)
+    assert len(hist) == 3
+    assert all(b >= a - 1e-4 for a, b in zip(hist, hist[1:])), hist
+    assert hist[-1] > hist[0]  # it actually improved on this data
+
+    out = kmeans_step(emb, cent)
+    n = emb.count()
+    per_dim = {}
+    for r in out.collect():
+        per_dim.setdefault(r["dim"], 0)
+        per_dim[r["dim"]] += r["n_vectors"]
+    assert set(per_dim.values()) == {n}  # every dim's counts sum to corpus
