@@ -130,3 +130,29 @@ def novelty_flags(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {flag_col} boolean"
     return lanes.mapInPandas(check, schema=schema)
+
+
+BLOOM_MAGIC = b"LMKCBLM1"
+
+
+def save_bloom(bloom: BloomFilter, path: str) -> None:
+    """Persist a built filter (8-byte magic, two little-endian uint64
+    header words, raw bitmap). The standing-corpus filter is built once
+    per maintenance cycle and re-broadcast by every ingest batch —
+    persisting it is what makes the novelty screen *incremental* across
+    driver restarts instead of a per-run rebuild."""
+    header = np.array([bloom.n_bits, bloom.n_hashes], dtype="<u8").tobytes()
+    with open(path, "wb") as f:
+        f.write(BLOOM_MAGIC + header + bloom.bits.tobytes())
+
+
+def load_bloom(path: str) -> BloomFilter:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[: len(BLOOM_MAGIC)] != BLOOM_MAGIC:
+        raise ValueError(f"not a bloom filter file: {path}")
+    n_bits, n_hashes = np.frombuffer(raw, dtype="<u8", count=2, offset=len(BLOOM_MAGIC))
+    bits = np.frombuffer(raw, dtype=np.uint8, offset=len(BLOOM_MAGIC) + 16).copy()
+    if len(bits) != n_bits // 8:
+        raise ValueError(f"truncated bloom filter file: {path}")
+    return BloomFilter(bits=bits, n_bits=int(n_bits), n_hashes=int(n_hashes))

@@ -503,3 +503,31 @@ def test_spherical_kmeans_objective_non_decreasing(spark):
         per_dim.setdefault(r["dim"], 0)
         per_dim[r["dim"]] += r["n_vectors"]
     assert set(per_dim.values()) == {n}  # every dim's counts sum to corpus
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    from logminer_kafka_connect_spark.operators.textops.bloom import (
+        build_bloom,
+        load_bloom,
+        novelty_flags,
+        save_bloom,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") % 4 != 0
+    )
+    delta = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") % 4 == 0
+    ).select("doc_id", "text")
+    bloom = build_bloom(base, "text", n_bits=1 << 16)
+    p = str(tmp_path / "corpus.bloom")
+    save_bloom(bloom, p)
+    loaded = load_bloom(p)
+    assert (
+        loaded.n_bits == bloom.n_bits
+        and loaded.n_hashes == bloom.n_hashes
+        and np.array_equal(loaded.bits, bloom.bits)
+    )
+    a = sorted(map(tuple, novelty_flags(delta, bloom, "text").collect()))
+    b = sorted(map(tuple, novelty_flags(delta, loaded, "text").collect()))
+    assert a == b
