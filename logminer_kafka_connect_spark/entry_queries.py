@@ -1339,6 +1339,33 @@ ORACLES["t26_pii_redact"] = _pii_oracle()
 
 
 @_q(
+    "c12_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           count(*) FILTER (WHERE json_extract_string(props, '$.missing')
+                            IS NOT NULL) AS n_missing_hits
+    FROM events
+    GROUP BY 1
+    """,
+)
+def c12(spark, sf_dir):
+    """Semi-structured extraction (the C-family surface for JSON payload
+    columns a CDC feed carries): path extraction + typed cast + absent-
+    path NULL semantics, all JVM-side (`get_json_object` codegen) —
+    no schema inference pass, no UDF; one aggregate exchange."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    missing = F.get_json_object(F.col("props"), "$.missing")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(missing).alias("n_missing_hits"),
+    )
+
+
+@_q(
     "a10_heavy_hitters",
     """
     WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS item

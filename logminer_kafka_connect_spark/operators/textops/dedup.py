@@ -330,6 +330,7 @@ def incremental_minhash_dedup(
     n_bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.2,
+    base_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-vs-base near-dup detection: which INCOMING documents
     near-duplicate something already in the corpus.
@@ -338,15 +339,20 @@ def incremental_minhash_dedup(
     is checked against the standing corpus (``base``) without ever
     generating base-base or delta-delta pairs — the candidate join is
     strictly ``base_buckets ⋈ delta_buckets``, so candidate volume scales
-    with |delta| x bucket-collision-rate, not |corpus|². In a production
-    loop the base signatures are computed once and stored (they are a
-    per-doc aggregate, incrementally maintainable on merge); here they
-    are derived on the fly from the base frame.
+    with |delta| x bucket-collision-rate, not |corpus|². Pass
+    ``base_signatures`` (a stored minhash_signatures output — per-doc
+    aggregates, incrementally maintainable on merge) to skip re-hashing
+    the standing corpus entirely: the production loop pays only the
+    delta's signature pass per batch.
 
     Returns (base_id, delta_id, jaccard >= threshold) exact-verified
     pairs, verification candidate-bounded via jaccard_pairs.
     """
-    sig_b = minhash_signatures(base, id_col, text_col, n_hashes, shingle_k)
+    sig_b = (
+        base_signatures
+        if base_signatures is not None
+        else minhash_signatures(base, id_col, text_col, n_hashes, shingle_k)
+    )
     sig_d = minhash_signatures(delta, id_col, text_col, n_hashes, shingle_k)
     bb = band_buckets(sig_b, id_col, n_hashes, n_bands).alias("b")
     bd = band_buckets(sig_d, id_col, n_hashes, n_bands).alias("d")

@@ -531,3 +531,27 @@ def test_bloom_save_load_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, novelty_flags(delta, bloom, "text").collect()))
     b = sorted(map(tuple, novelty_flags(delta, loaded, "text").collect()))
     assert a == b
+
+
+def test_incremental_dedup_with_stored_base_signatures(spark):
+    """Passing precomputed base signatures (the production loop's stored
+    per-doc aggregates) yields bit-identical pairs to the on-the-fly
+    path."""
+    from logminer_kafka_connect_spark.operators.textops.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    live = sorted(map(tuple, incremental_minhash_dedup(base, delta).collect()))
+    stored = sorted(
+        map(
+            tuple,
+            incremental_minhash_dedup(
+                base, delta, base_signatures=minhash_signatures(base)
+            ).collect(),
+        )
+    )
+    assert live == stored and len(live) > 0
