@@ -1339,6 +1339,42 @@ ORACLES["t26_pii_redact"] = _pii_oracle()
 
 
 @_q(
+    "s13_scd2_history",
+    """
+    SELECT user_id,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           round(value, 2) AS value_r,
+           row_number() OVER w AS version_n
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def s13(spark, sf_dir):
+    """SCD2 history materialization — the standard downstream consumer of
+    a CDC feed: each key's change rows become validity intervals
+    ([valid_from, valid_to), open-ended current row flagged) via lead()
+    over the per-key change order. One Exchange on the key, one sort —
+    the same partitioning the MERGE already uses, so in-pipeline this
+    reuses the shuffle. (event_id tiebreak totalizes the order, making
+    interval boundaries deterministic.)"""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.round("value", 2).alias("value_r"),
+        F.row_number().over(w).alias("version_n"),
+    )
+
+
+@_q(
     "c12_json_extract",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -47,6 +47,8 @@ SHOW = [
     "t27_unigram_logprob",
     "d21_decontaminate",
     "d23_incremental_dedup",
+    "j15_range_join",     # grid-cell equi-join, NOT BroadcastNestedLoop
+    "n20_kmeans_step",    # broadcast assignment + (cluster, dim) partial agg
 ]
 
 
