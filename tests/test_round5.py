@@ -555,3 +555,32 @@ def test_incremental_dedup_with_stored_base_signatures(spark):
         )
     )
     assert live == stored and len(live) > 0
+
+
+def test_range_join_result_invariant_to_cell_size(spark):
+    """cell is a pure tuning knob: any positive width yields identical
+    matches (correctness never depends on the grid)."""
+    from logminer_kafka_connect_spark.operators.rangejoin import range_join
+
+    rng = np.random.RandomState(23)
+    pts = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 300, 150))],
+        "pid long, p double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (int(i), float(l), float(l + w))
+            for i, (l, w) in enumerate(
+                zip(rng.uniform(0, 280, 25), rng.uniform(0.5, 90, 25))
+            )
+        ],
+        "iid long, lo double, hi double",
+    )
+    results = [
+        sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(pts, ivs, "p", "lo", "hi", cell=c).collect()
+        )
+        for c in (0.7, 8.0, 64.0, 1000.0)
+    ]
+    assert all(r == results[0] for r in results[1:]) and len(results[0]) > 0
