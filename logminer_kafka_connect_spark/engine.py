@@ -45,14 +45,21 @@ class CdcEngine:
         schema_provider=None,
         fs=None,
         salt_chunks: int | str | None = "auto",
+        stats_cols: list[str] | None = None,
+        sort_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
         table_path = os.path.join(workdir, "pages_table")
         self.table = SnapshotTable(table_path, fs=fs)
         if not self.table.exists():
+            # stats_cols/sort_cols are opt-in: the stats pass adds one
+            # narrow job per merge — analytics-read-heavy deployments
+            # turn it on (file skipping on the replicated table), the
+            # pure-throughput bench path keeps it off
             self.table = SnapshotTable.create(
-                table_path, schema, [key_col], n_buckets=n_buckets, fs=fs
+                table_path, schema, [key_col], n_buckets=n_buckets,
+                stats_cols=stats_cols, sort_cols=sort_cols, fs=fs,
             )
         self.lineage = LineageLog(os.path.join(workdir, "lineage"), fs=fs)
         self.driver = ReplayDriver(

@@ -213,3 +213,42 @@ def test_sort_cols_cluster_rows_within_files(spark, tdir):
             for f in glob.glob(f"{d}/*.parquet"):
                 col = pq.read_table(f, columns=["scn"])["scn"].to_pylist()
                 assert col == sorted(col), f"unsorted post-merge file {f}"
+
+
+def test_cdc_replay_with_stats_cols_prunes_replicated_table(spark, tdir):
+    """End-to-end integration: a replay into a stats-enabled pages table
+    records per-file lang stats through every MERGE, and analytics reads
+    on the replicated table prune files while matching the full read."""
+    from logminer_kafka_connect_spark.engine import CdcEngine
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+
+    gen = CdcGenerator(GeneratorConfig(seed=29, n_txns=60, n_urls=120, n_snapshot=40))
+    engine = CdcEngine(
+        spark, f"{tdir}/cdc", n_buckets=8, stats_cols=["lang"], sort_cols=["lang"]
+    )
+    engine.load_snapshot(
+        spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1
+    )
+    engine.replay(gen.events_df(spark), n_batches=4)
+
+    meta = engine.table.metadata()
+    live = {p for ps in meta["buckets"].values() for p in ps}
+    assert live and all(p in meta["file_stats"] for p in live)
+
+    langs = sorted(
+        r["lang"]
+        for r in engine.state().select("lang").distinct().collect()
+        if r["lang"] is not None
+    )
+    assert len(langs) >= 2
+    target = langs[0]
+    full = sorted(
+        r["url"]
+        for r in engine.table.read(spark).filter(F.col("lang") == target).collect()
+    )
+    pruned_df = engine.table.read_pruned(spark, "lang", target, target)
+    assert sorted(r["url"] for r in pruned_df.collect()) == full and full
