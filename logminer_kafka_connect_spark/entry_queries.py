@@ -935,6 +935,38 @@ def w26(spark, sf_dir):
 
 
 @_q(
+    "w28_sliding_windows",
+    """
+    WITH wins AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - i * INTERVAL '15 minutes' AS window_start,
+             event_type, value
+      FROM events, unnest(range(4)) t(i)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM wins GROUP BY 1, 2, 3
+    """,
+)
+def w28(spark, sf_dir):
+    """Sliding event-time windows (1h window, 15min slide — each event
+    lands in 4 overlapping windows): same unified batch/streaming
+    operator as w26 with ``slide`` set; Spark's window() explodes the
+    overlap exactly like the oracle's 4-offset bucket expansion, then
+    one (window, group) partial-agg shuffle."""
+    from logminer_kafka_connect_spark.streaming.windows import windowed_event_stats
+
+    return windowed_event_stats(
+        t(spark, sf_dir, "events"), window="1 hour", slide="15 minutes"
+    )
+
+
+@_q(
     "w27_session_windows",
     """
     WITH o AS (
