@@ -62,3 +62,49 @@ def test_snapshot_envelope(spark):
     assert all(r["op"] == "r" for r in rows)
     assert all(r["source"]["txId"] == "NOT AVAILABLE" for r in rows)
     assert all(r["after"]["url"] == r["key"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Avro schema rendering (SchemaService / ConnectSchemaFactory registration
+# parity)
+# ---------------------------------------------------------------------------
+def test_avro_schemas_render_and_validate():
+    import json
+
+    from pyspark.sql import types as T
+
+    from logminer_kafka_connect_spark.functions.avro_schema import (
+        envelope_avro_schema,
+        key_avro_schema,
+    )
+    from logminer_kafka_connect_spark.functions.naming import TableId
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("n_views", T.LongType(), True),
+            T.StructField("price", T.DecimalType(10, 2), True),
+        ]
+    )
+    tid = TableId("CRAWL", "pages_t")
+    key = json.loads(key_avro_schema(schema, tid, ["url"]))
+    assert key["name"] == "PagesKey"
+    assert key["fields"] == [{"name": "url", "type": "string"}]
+
+    env = json.loads(envelope_avro_schema(schema, tid))
+    assert env["name"] == "PagesEnvelope"
+    by = {f["name"]: f for f in env["fields"]}
+    assert by["op"]["type"] == "string" and by["ts_ms"]["type"] == "long"
+    # before defines the row record; after reuses it by name (Avro rule)
+    row = by["before"]["type"][1]
+    assert row["name"] == "PagesRow" and by["after"]["type"][1] == "lmkc.PagesRow"
+    row_fields = {f["name"]: f["type"] for f in row["fields"]}
+    assert row_fields["warc_ts"] == ["null", {"type": "long", "logicalType": "timestamp-millis"}]
+    assert row_fields["price"] == [
+        "null",
+        {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2},
+    ]
+    src_fields = [f["name"] for f in by["source"]["type"]["fields"]]
+    assert src_fields == ["version", "connector", "ts_ms", "txId", "scn", "schema", "table", "user"]
