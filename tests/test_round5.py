@@ -584,3 +584,32 @@ def test_range_join_result_invariant_to_cell_size(spark):
         for c in (0.7, 8.0, 64.0, 1000.0)
     ]
     assert all(r == results[0] for r in results[1:]) and len(results[0]) > 0
+
+
+def test_redact_pii_idempotent_property(spark):
+    """Property: redaction is idempotent — replacement tokens contain no
+    digits or @-runs, so a second pass never changes the text (fuzzed
+    over adversarial near-PII strings)."""
+    from logminer_kafka_connect_spark.operators.textops.quality import redact_pii
+
+    samples = [
+        "a@b.co 1.2.3.4.5 +12 345 678 901 x",
+        "..@@..  999.999.999.999 <NUM> pre<EMAIL>post",
+        "tel:+1(2)3-4 5678901234567890",
+        "v1.2.3-rc4 2024-01-01T00:00:00Z 127.0.0.1:8080",
+        "",
+        "@ . - ( ) +",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    once = {r["doc_id"]: r["redacted"] for r in redact_pii(df).collect()}
+    again_in = spark.createDataFrame(
+        [(i, t) for i, t in once.items()], "doc_id long, text string"
+    )
+    twice = {r["doc_id"]: r for r in redact_pii(again_in).collect()}
+    for i, t in once.items():
+        assert twice[i]["redacted"] == t, (samples[i], t, twice[i]["redacted"])
+        assert all(
+            twice[i][f"n_{n}"] == 0 for n in ("email", "ipv4", "phone", "number")
+        ), (samples[i], t)
