@@ -16,12 +16,12 @@ Scale shape:
   the MinHash suite) — Python only ORs/tests precomputed bit positions
   in vectorized numpy over Arrow batches.
 - Build: each partition folds its keys into one local bitmap
-  (``mapInPandas``, one output row per partition), then bitmaps are
-  OR-merged. The merge is driver-side here (bounded: n_partitions x
-  n_bits/8 bytes — 32 x 128 KiB at the defaults); at many thousands of
-  partitions the same partial bitmaps feed a two-level OR (group
-  partitions mod G, OR within groups, then OR the G results) — the
-  partial-per-partition layout is already the right input for that.
+  (``mapInPandas``, one output row per partition). With few partitions
+  the partials are OR-merged at the driver (bounded: n_partitions x
+  n_bits/8 bytes); past ``TREE_MERGE_THRESHOLD`` partitions a tree
+  level runs first — partials repartition into G groups and OR
+  executor-side, so the driver always collects at most G bitmaps no
+  matter how wide the scan was (the 1000-executor case).
 - Check: the finished bitmap is a **broadcast variable** (one copy per
   executor, not per task); the delta stream maps through it narrowly.
 
@@ -70,6 +70,12 @@ def _hash_lanes(df: DataFrame, key_col: str) -> DataFrame:
              .withColumn("__v2", F.conv(F.substring(h, 17, 15), 16, 10).cast("long"))
 
 
+#: above this many scan partitions, insert an executor-side OR level so
+#: the driver never collects more than TREE_MERGE_GROUPS bitmaps
+TREE_MERGE_THRESHOLD = 64
+TREE_MERGE_GROUPS = 8
+
+
 def build_bloom(
     df: DataFrame,
     key_col: str,
@@ -77,7 +83,8 @@ def build_bloom(
     n_hashes: int = 4,
 ) -> BloomFilter:
     """Fold every ``key_col`` value into a Bloom filter: one bitmap per
-    partition (numpy, inside mapInPandas), OR-merged at the driver."""
+    partition (numpy, inside mapInPandas), OR-merged executor-side past
+    TREE_MERGE_THRESHOLD partitions, then at the driver."""
     if n_bits % 8:
         raise ValueError("n_bits must be a multiple of 8")
     lanes = _hash_lanes(df.select(key_col), key_col).select("__v1", "__v2")
@@ -95,9 +102,22 @@ def build_bloom(
         if saw:
             yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    partials = lanes.mapInPandas(fold, schema="bitmap binary").collect()
+    def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for b in batches:
+            for raw in b["bitmap"]:
+                m = np.frombuffer(raw, dtype=np.uint8)
+                acc = m.copy() if acc is None else (acc | m)
+        if acc is not None:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+    partials_df = lanes.mapInPandas(fold, schema="bitmap binary")
+    if lanes.rdd.getNumPartitions() > TREE_MERGE_THRESHOLD:
+        partials_df = partials_df.repartition(TREE_MERGE_GROUPS).mapInPandas(
+            or_fold, schema="bitmap binary"
+        )
     merged = np.zeros(n_bits // 8, dtype=np.uint8)
-    for row in partials:
+    for row in partials_df.collect():
         merged |= np.frombuffer(row["bitmap"], dtype=np.uint8)
     return BloomFilter(bits=merged, n_bits=n_bits, n_hashes=n_hashes)
 

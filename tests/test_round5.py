@@ -613,3 +613,18 @@ def test_redact_pii_idempotent_property(spark):
         assert all(
             twice[i][f"n_{n}"] == 0 for n in ("email", "ipv4", "phone", "number")
         ), (samples[i], t)
+
+
+def test_bloom_tree_merge_path_identical(spark):
+    """The executor-side OR level (engaged past TREE_MERGE_THRESHOLD scan
+    partitions) produces the exact same bitmap as the direct path."""
+    from logminer_kafka_connect_spark.operators.textops import bloom as B
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") % 4 != 0
+    )
+    direct = B.build_bloom(base.coalesce(4), "text", n_bits=1 << 16)
+    wide = base.repartition(96)  # > TREE_MERGE_THRESHOLD -> tree level
+    assert wide.rdd.getNumPartitions() > B.TREE_MERGE_THRESHOLD
+    tree = B.build_bloom(wide, "text", n_bits=1 << 16)
+    assert np.array_equal(direct.bits, tree.bits)
