@@ -31,6 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logminer_kafka_connect_spark.operators.textops.bloom import (
+    TREE_MERGE_GROUPS,
+    TREE_MERGE_THRESHOLD,
+)
+
 
 def mg_merge(counts: dict, n_counters: int) -> dict:
     """Generalized Misra-Gries decrement: keep at most ``n_counters``
@@ -75,9 +80,37 @@ def heavy_hitters_sketch(
                 {"item": list(counts), "c": [counts[i] for i in counts]}
             )
 
-    partials = items.mapInPandas(partial, schema="item string, c long").collect()
+    def summary_merge(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for b in pdfs:
+            for item, c in zip(b["item"], b["c"]):
+                counts[item] = counts.get(item, 0) + int(c)
+        counts = mg_merge(counts, n_counters)
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts), "c": [counts[i] for i in counts]}
+            )
+
+    partials_df = items.mapInPandas(partial, schema="item string, c long")
+    if items.rdd.getNumPartitions() > TREE_MERGE_THRESHOLD:
+        # executor-side tree level: group COMPLETE per-partition summaries
+        # (spark_partition_id survives the narrow mapInPandas, so rows of
+        # one summary stay together) and MG-merge each group — the
+        # mergeable-summaries guarantee needs whole summaries per merge,
+        # which is why this is a groupBy on producing partition, not a
+        # blind repartition of rows. Driver then sees <= G summaries.
+        partials_df = (
+            partials_df.withColumn(
+                "g", F.spark_partition_id() % TREE_MERGE_GROUPS
+            )
+            .groupBy("g")
+            .applyInPandas(
+                lambda pdf: next(summary_merge(iter([pdf])), pd.DataFrame({"item": [], "c": []})),
+                schema="item string, c long",
+            )
+        )
     merged: dict = {}
-    for r in partials:
+    for r in partials_df.collect():
         merged[r["item"]] = merged.get(r["item"], 0) + r["c"]
     merged = mg_merge(merged, n_counters)
 

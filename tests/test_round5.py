@@ -628,3 +628,22 @@ def test_bloom_tree_merge_path_identical(spark):
     assert wide.rdd.getNumPartitions() > B.TREE_MERGE_THRESHOLD
     tree = B.build_bloom(wide, "text", n_bits=1 << 16)
     assert np.array_equal(direct.bits, tree.bits)
+
+
+def test_heavy_hitters_tree_merge_path_matches(spark):
+    """Past TREE_MERGE_THRESHOLD partitions the executor-side summary
+    merge engages; the final top-k is unchanged (whole-summary grouping
+    preserves the mergeable-summaries guarantee)."""
+    from logminer_kafka_connect_spark.operators.textops import bloom as B
+    from logminer_kafka_connect_spark.operators.textops.dedup import words_expr
+    from logminer_kafka_connect_spark.operators.textops.heavy_hitters import (
+        heavy_hitters_sketch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(F.explode(words_expr("text")).alias("item"))
+    narrow = [tuple(r) for r in heavy_hitters_sketch(words.coalesce(4), "item", 20).collect()]
+    wide_words = words.repartition(96)
+    assert wide_words.rdd.getNumPartitions() > B.TREE_MERGE_THRESHOLD
+    wide = [tuple(r) for r in heavy_hitters_sketch(wide_words, "item", 20).collect()]
+    assert narrow == wide and len(narrow) == 20
