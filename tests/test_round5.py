@@ -647,3 +647,27 @@ def test_heavy_hitters_tree_merge_path_matches(spark):
     assert wide_words.rdd.getNumPartitions() > B.TREE_MERGE_THRESHOLD
     wide = [tuple(r) for r in heavy_hitters_sketch(wide_words, "item", 20).collect()]
     assert narrow == wide and len(narrow) == 20
+
+
+def test_new_entry_plan_shapes(spark):
+    """Scale-critical plan shapes pinned so regressions surface in CI:
+    - j14 as-of: exactly ONE shuffle Exchange (the union-scan design);
+    - d21 decontamination: eval side broadcast, corpus never shuffled
+      before the join;
+    - t26 redaction: no Exchange at all (narrow map);
+    - t24-style guarantees for others live in their own tests."""
+    from logminer_kafka_connect_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    j14 = plan("j14_asof_join")
+    assert j14.count("Exchange hashpartitioning") == 1 and "Window" in j14
+
+    d21 = plan("d21_decontaminate")
+    assert "BroadcastHashJoin" in d21
+
+    t26 = plan("t26_pii_redact")
+    assert "Exchange" not in t26
