@@ -252,3 +252,63 @@ def test_cdc_replay_with_stats_cols_prunes_replicated_table(spark, tdir):
     )
     pruned_df = engine.table.read_pruned(spark, "lang", target, target)
     assert sorted(r["url"] for r in pruned_df.collect()) == full and full
+
+
+def test_zorder_key_tightens_both_dims_vs_single_sort(spark):
+    """Writing files sorted by the Morton key must shrink the combined
+    per-file bounding area over BOTH dimensions vs sorting by one column
+    (which leaves the other column's ranges at full width)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from logminer_kafka_connect_spark.functions.zorder import zorder_key
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(
+            ((F.col("id") * 2654435761) % 10007 % 1000).cast("double").alias("x"),
+            ((F.col("id") * 40503) % 9973 % 1000).cast("double").alias("y"),
+        )
+    )
+
+    def mean_file_area(sorted_df, n_files=16):
+        parts = (
+            sorted_df.repartitionByRange(n_files, "sk")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .collect()
+        )
+        return sum(r["dx"] * r["dy"] for r in parts) / len(parts)
+
+    zsorted = df.withColumn(
+        "sk", zorder_key([("x", 0, 1000), ("y", 0, 1000)])
+    )
+    xsorted = df.withColumn("sk", F.col("x").cast("string"))
+    za, xa = mean_file_area(zsorted), mean_file_area(xsorted)
+    # single-column sort: dy ~ full width (1000) in every file; z-order
+    # shrinks both dims — require at least a 2x combined-area win
+    assert za < xa / 2, (za, xa)
+
+
+def test_zorder_key_clamps_out_of_domain(spark):
+    from pyspark.sql import functions as F
+
+    from logminer_kafka_connect_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(-50.0, 2000.0), (0.0, 0.0), (1000.0, 1000.0)], "x double, y double"
+    )
+    keys = [
+        r["k"]
+        for r in df.select(
+            zorder_key([("x", 0, 1000), ("y", 0, 1000)]).alias("k")
+        ).collect()
+    ]
+    # below-domain x clamps to rank 0, above-domain y clamps to max rank
+    assert keys[0][0::2].lstrip("0") == "" or keys[0][0] == "0"
+    assert all(len(k) == 8 for k in keys)  # 16 bits x 2 cols / 4 per hex
