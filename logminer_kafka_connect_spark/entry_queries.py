@@ -1335,6 +1335,81 @@ def t27(spark, sf_dir):
     return unigram_logprob(t(spark, sf_dir, "documents"))
 
 
+# raw-URL builder shared by the t28 entry's two engines: event-dependent
+# mixed case, default port, tracking params, unsorted params, fragments,
+# and trailing slashes — every normalization rule fires on real rows
+_RAW_URL_SQL = """
+    'HTTPS://Example' || cast(user_id % 7 AS varchar) || '.COM' ||
+    CASE WHEN event_id % 4 = 0 THEN ':443' ELSE '' END ||
+    '/Path' || cast(user_id AS varchar) ||
+    CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END ||
+    '?utm_source=news&b=' || cast(event_id % 5 AS varchar) || '&a=1' ||
+    CASE WHEN event_id % 2 = 0 THEN '&gclid=XYZ' ELSE '' END ||
+    CASE WHEN event_id % 5 = 0 THEN '#frag' || cast(event_id AS varchar)
+         ELSE '' END
+"""
+
+
+@_q(
+    "t28_url_canonicalize",
+    f"""
+    WITH raw AS (SELECT event_id, {_RAW_URL_SQL} AS url FROM events),
+    s1 AS (SELECT event_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    parts AS (
+      SELECT event_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(
+               lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+               ':(80|443)$', '') AS host,
+             regexp_replace(
+               regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1),
+               '/$', '') AS path,
+             list_sort(list_filter(
+               string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')
+             )) AS params
+      FROM s1)
+    SELECT event_id,
+           scheme || '://' || host || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+    FROM parts
+    """,
+)
+def t28(spark, sf_dir):
+    """URL canonicalization (the crawl-frontier / dedup-key normalizer):
+    lowercase scheme+host, default-port strip, fragment drop, tracking-
+    param removal (utm_*/fbclid/gclid), query-param sort, trailing-slash
+    strip — all regexp/array built-ins, shuffle-free; raw URLs are
+    synthesized per event so every rule fires on real rows and the
+    DuckDB twin applies the identical pipeline."""
+    from logminer_kafka_connect_spark.operators.textops.quality import (
+        canonicalize_url,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("HTTPS://Example"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path"),
+        F.col("user_id").cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=news&b="),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit("&a=1"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("&gclid=XYZ")).otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("#frag"), F.col("event_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return ev.select(
+        "event_id", canonicalize_url(raw).alias("canon_url")
+    )
+
+
 @_q(
     "d21_decontaminate",
     f"""

@@ -6,7 +6,7 @@ expressible in ANSI SQL so the DuckDB oracle can verify values exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logminer_kafka_connect_spark.operators.textops.dedup import shingles_expr, words_expr
@@ -143,4 +143,34 @@ def unigram_logprob(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.round(F.avg("logp"), 4).alias("mean_logp"),
         )
+    )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL form for dedup keys (the crawl-frontier normalizer):
+    lowercase scheme+host, strip a default port, drop the fragment, drop
+    known tracking params (utm_*, fbclid, gclid), sort surviving query
+    params, and strip a trailing slash on the path. Pure built-ins
+    (regexp + split/array ops) — codegen, shuffle-free, and every step
+    has an exact DuckDB twin for the oracle."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")       # default ports
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(rest, r"/$", "")                   # trailing slash
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )

@@ -671,3 +671,27 @@ def test_new_entry_plan_shapes(spark):
 
     t26 = plan("t26_pii_redact")
     assert "Exchange" not in t26
+
+
+def test_canonicalize_url_rules(spark):
+    from logminer_kafka_connect_spark.operators.textops.quality import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/", "http://www.ex.com/A"),
+        ("https://ex.com/p?utm_source=x&z=2&a=1#top", "https://ex.com/p?a=1&z=2"),
+        ("https://ex.com/p?gclid=1&fbclid=2&utm_campaign=c", "https://ex.com/p"),
+        ("https://ex.com:8080/q?b=2&a=1", "https://ex.com:8080/q?a=1&b=2"),
+        ("https://ex.com", "https://ex.com"),
+        ("https://ex.com/?x=", "https://ex.com?x="),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
