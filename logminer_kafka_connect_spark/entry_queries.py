@@ -1657,6 +1657,53 @@ def cdc_replay(spark, sf_dir):
     )
 
 
+@_q("cdc_pruned_read")
+def cdc_pruned_read(spark, sf_dir):
+    """Manifest file skipping on a lake table (Iceberg data-file-stats
+    parity): the documents corpus lands in a table KEYED on lang — the
+    identity-partitioning layout where low-cardinality predicates pay —
+    so every data file's recorded [min, max] lang collapses to a point
+    and a lang-range read through prune_files/read_pruned touches one
+    file. Rows-only in DuckDB terms (the read is over the engine's own
+    table) but SELF-VERIFYING: the entry asserts the pruned read equals
+    the full filtered read AND that pruning actually skipped files
+    before returning the pruned rows. (Stats on a column UNcorrelated
+    with the layout prune nothing — that safety case is pytest-pinned in
+    tests/test_file_stats.py.)"""
+    import tempfile
+
+    from logminer_kafka_connect_spark.plans.lakehouse import SnapshotTable
+
+    docs = t(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="lmkc-pruned-")
+    table = SnapshotTable.create(
+        f"{workdir}/docs",
+        docs.schema,
+        ["lang"],
+        n_buckets=8,
+        stats_cols=["lang"],
+        sort_cols=["doc_id"],
+    )
+    table.overwrite(docs)
+    full = {
+        (r["doc_id"], r["lang"])
+        for r in table.read(spark).filter(F.col("lang") == "de").collect()
+    }
+    kept, skipped = table.prune_files("lang", "de", "de")
+    pruned = table.read_pruned(spark, "lang", "de", "de")
+    got = {(r["doc_id"], r["lang"]) for r in pruned.collect()}
+    if got != full:
+        raise AssertionError(
+            f"pruned read diverged: {len(got)} vs {len(full)} rows"
+        )
+    if not skipped:
+        # with lang-sorted 8-bucket files over a 4-language corpus, at
+        # least one file must be prunable for lang='de'; if not, stats
+        # recording is broken — fail loudly rather than return weak rows
+        raise AssertionError("no files skipped — stats recording broken?")
+    return pruned.select("doc_id", "lang").orderBy("doc_id")
+
+
 @_q("cdc_table_changes")
 def cdc_table_changes(spark, sf_dir):
     """Changelog surface: replay a deterministic CDC log into the lake
