@@ -1620,6 +1620,104 @@ def d22(spark, sf_dir):
     )
 
 
+@_q(
+    "d24_semdedup",
+    """
+    WITH n AS (SELECT vec_id, embedding,
+                 sqrt(list_aggregate(list_transform(embedding,
+                     v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS nrm
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+              / (a.nrm * b.nrm), 6) >= 0.4
+    ),
+    victims AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT e.vec_id, (v.id_b IS NULL) AS kept
+    FROM embeddings e LEFT JOIN victims v ON e.vec_id = v.id_b
+    """,
+)
+def d24(spark, sf_dir):
+    """SemDedup-style semantic pruning: every vector labeled kept/dropped
+    under the deterministic min-id-representative rule (drop anything with
+    a smaller-id neighbor at cosine >= 0.4). Brute pairs here = the oracle
+    baseline; the 100-TB path feeds pairs= from the LSH-bucketed
+    candidates (semantics pinned identical in tests)."""
+    return D.semdedup_prune(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@_q(
+    "t29_tfidf_keywords",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+          FROM d),
+    ww AS (SELECT doc_id, word FROM w WHERE length(word) >= 3),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM ww GROUP BY doc_id, word),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    s AS (SELECT tf.doc_id, tf.word,
+                 CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+                 round(tf.tf * ln(n.n_docs / dfq.df), 6) AS tfidf
+          FROM tf JOIN dfq USING (word) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, word ASC) AS rank FROM s)
+    SELECT doc_id, word, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def t29(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords: two partial-agg shuffles (tf on
+    (doc, word); df on word), vocabulary-sized df + 1-row N broadcast
+    back, ranking window on the rounded score (engine-stable ties)."""
+    return Q.tfidf_keywords(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+
+
+_C13_SPLIT = _SPLIT_SQL  # same thresholds/salt as t24 (0.9/0.05/0.05)
+
+@_q(
+    "c13_curation_pipeline",
+    f"""
+    WITH w AS (SELECT doc_id, lang, text,
+                      string_split_regex(trim(lower(text)), '\\s+') AS ws
+               FROM documents WHERE lang IN ('en', 'de')),
+    m AS (SELECT doc_id, lang, text,
+                 len(ws) AS n_words,
+                 len(list_filter(ws, x -> x IN ({_STOP_SQL}))) / len(ws) AS stop_ratio,
+                 list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+                   / len(ws) AS awl
+          FROM w),
+    q AS (SELECT doc_id, lang, text,
+                 round(((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                      + least(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+          FROM m),
+    k AS (SELECT doc_id, lang, quality,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM q WHERE quality >= 0.5)
+    SELECT doc_id, lang, quality, {_C13_SPLIT} AS split
+    FROM k WHERE doc_id = keeper
+    """,
+)
+def c13(spark, sf_dir):
+    """End-to-end curation pipeline (the composition a training-data run
+    executes): lang filter -> quality gate -> exact-dup keep-min-id ->
+    deterministic split. One narrow scan + ONE shuffle (the md5(text)
+    dedup window); split is a pure projection. Composes t21's quality
+    formula, d14's dedup rule, and t24's split thresholds, verified
+    end-to-end as one query."""
+    return Q.curate_corpus(
+        t(spark, sf_dir, "documents"),
+        langs=("en", "de"),
+        min_quality=0.5,
+        weights=[("train", 0.9), ("val", 0.05), ("test", 0.05)],
+    )
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (no SQL-expressible oracle): CDC replay, LSH ANN,
 # multimodal features

@@ -374,3 +374,35 @@ def incremental_minhash_dedup(
     return verified.select(
         F.col("id_a").alias("base_id"), F.col("id_b").alias("delta_id"), "jaccard"
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDedup-style semantic pruning: label every item kept/dropped,
+    dropping each item that has ANY smaller-id near-duplicate above the
+    cosine threshold (deterministic min-id-representative rule — the
+    greedy keep-one policy of Abbas et al.'s SemDedup, with id order
+    standing in for the cluster-centroid-distance order).
+
+    ``pairs=`` accepts precomputed candidate pairs (id_a < id_b, already
+    thresholded) so the 100-TB path feeds LSH-bucketed + verified pairs
+    (similarity.lsh_near_dups) instead of the brute-force default, which
+    exists as the small-scale oracle baseline. The victim set is one
+    DISTINCT on id_b — proportional to the dup rate, not the corpus — so
+    the final membership join broadcasts at any realistic dup rate.
+    """
+    if pairs is None:
+        pairs = embedding_near_dups(emb, id_col, vec_col, threshold)
+    victims = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return emb.select(id_col).join(victims, id_col, "left").select(
+        id_col, F.col("__dropped").isNull().alias("kept")
+    )

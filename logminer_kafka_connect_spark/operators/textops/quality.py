@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from logminer_kafka_connect_spark.operators.textops.dedup import shingles_expr, words_expr
 
@@ -61,9 +62,9 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Length / stopword-ratio / mean-word-length quality heuristic
-    (Gopher/C4-style filters, simplified): score in [0,1]."""
+def _quality_cols(text_col: str) -> dict[str, Column]:
+    """The quality-heuristic expressions, reusable inline (curate_corpus
+    composes them without a join back on id)."""
     w = words_expr(text_col)
     n = F.size(w)
     stop_hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
@@ -72,13 +73,19 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
     awl_ok = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     score = F.round((len_ok + awl_ok + F.least(stop_ratio * F.lit(5.0), F.lit(1.0))) / 3.0, 6)
-    return df.select(
-        F.col(id_col),
-        n.alias("n_words"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(awl, 6).alias("avg_word_len"),
-        score.alias("quality"),
-    )
+    return {
+        "n_words": n,
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "avg_word_len": F.round(awl, 6),
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / stopword-ratio / mean-word-length quality heuristic
+    (Gopher/C4-style filters, simplified): score in [0,1]."""
+    cols = _quality_cols(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
 
 
 def doc_fingerprint(
@@ -174,3 +181,92 @@ def canonicalize_url(url: Column | str) -> Column:
         path,
         F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    min_word_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords (the classic corpus-level
+    keyword extractor).
+
+    Shape at 100 TB: one (doc, word) partial-agg shuffle for tf, one
+    (word) partial-agg shuffle for document frequency — both map-side
+    combined — and the df table is vocabulary-sized (Heaps' law), so it
+    comes back as a broadcast hash join; the final per-doc top-k is a
+    ranking window over rows already grouped by doc. The corpus size N
+    rides along as a broadcast 1-row aggregate — no driver collect.
+
+    Ranking is on the 6-dp ROUNDED score (ties broken by word) so the
+    order is engine-stable: tf * ln(N/df) is transcendental and two
+    libms may disagree in the last ulp, but never at 6 decimals.
+    """
+    tok = F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    words = (
+        df.select(F.col(id_col), F.explode(tok).alias("word"))
+        .filter(F.length("word") >= min_word_len)
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    langs: tuple[str, ...] = ("en", "de"),
+    min_quality: float = 0.5,
+    weights: list[tuple[str, float]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data run
+    actually executes: language filter -> quality gate -> exact-dup
+    keep-min-id -> deterministic split assignment.
+
+    One narrow scan does the lang filter and the quality expressions
+    (cheap predicate first so the word-array math runs on survivors
+    only); the ONLY shuffle is the md5(text) dedup window; the split is
+    a pure projection (sampling.assign_split — partition-layout
+    independent). At 100 TB: scan-dominated, single Exchange.
+    """
+    from logminer_kafka_connect_spark.operators.textops.sampling import assign_split
+
+    q = _quality_cols(text_col)
+    kept = (
+        df.filter(F.col(lang_col).isin(list(langs)))
+        .select(F.col(id_col), F.col(lang_col), q["quality"].alias("quality"),
+                F.md5(F.col(text_col)).alias("__th"))
+        .filter(F.col("quality") >= min_quality)
+    )
+    keeper = F.min(id_col).over(Window.partitionBy("__th"))
+    deduped = (
+        kept.withColumn("__keeper", keeper)
+        .filter(F.col(id_col) == F.col("__keeper"))
+        .drop("__th", "__keeper")
+    )
+    return assign_split(deduped, weights=weights, key_col=id_col)
