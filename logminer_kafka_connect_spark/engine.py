@@ -47,6 +47,7 @@ class CdcEngine:
         salt_chunks: int | str | None = "auto",
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        merge_mode: str = "cow",
     ):
         self.spark = spark
         self.workdir = workdir
@@ -56,10 +57,14 @@ class CdcEngine:
             # stats_cols/sort_cols are opt-in: the stats pass adds one
             # narrow job per merge — analytics-read-heavy deployments
             # turn it on (file skipping on the replicated table), the
-            # pure-throughput bench path keeps it off
+            # pure-throughput bench path keeps it off.
+            # merge_mode='mor' switches the replicated table to
+            # merge-on-read (delta appends + compact()) for deployments
+            # whose batches are small relative to bucket size.
             self.table = SnapshotTable.create(
                 table_path, schema, [key_col], n_buckets=n_buckets,
-                stats_cols=stats_cols, sort_cols=sort_cols, fs=fs,
+                stats_cols=stats_cols, sort_cols=sort_cols,
+                merge_mode=merge_mode, fs=fs,
             )
         self.lineage = LineageLog(os.path.join(workdir, "lineage"), fs=fs)
         self.driver = ReplayDriver(

@@ -1755,6 +1755,69 @@ def cdc_replay(spark, sf_dir):
     )
 
 
+@_q("cdc_mor_replay")
+def cdc_mor_replay(spark, sf_dir):
+    """Merge-on-read replay (Iceberg v2 write-optimized mode): the same
+    deterministic CDC fixture replayed through TWO engines — copy-on-write
+    and merge-on-read — must land the identical final table state; the
+    MoR table is then compacted and must STILL match. Rows-only in DuckDB
+    terms (multi-batch MERGE lifecycle) but SELF-VERIFYING: the CoW twin
+    is the oracle, compared row-for-row in-entry before anything is
+    returned, and the entry also asserts the MoR history actually took
+    the delta path (at least one merge-mor commit) so a silent fallback
+    can't fake the pass."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.engine import CdcEngine
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+
+    sf = "0.001" if "0.001" in sf_dir else ("0.01" if "0.01" in sf_dir else "0.1")
+    n_txns = {"0.001": 40, "0.01": 150, "0.1": 400}[sf]
+    states = {}
+    engines = {}
+    for mode in ("cow", "mor"):
+        gen = CdcGenerator(
+            GeneratorConfig(seed=42, n_txns=n_txns, n_urls=n_txns * 2, n_snapshot=n_txns)
+        )
+        workdir = tempfile.mkdtemp(prefix=f"lmkc-{mode}-")
+        engine = CdcEngine(spark, workdir, n_buckets=16, merge_mode=mode)
+        engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
+        engine.replay(gen.events_df(spark), n_batches=3)
+        engines[mode] = engine
+        states[mode] = sorted(
+            (r.url, r.lang, None if r.text is None else r.text)
+            for r in engine.state().select("url", "lang", "text").collect()
+        )
+    if states["mor"] != states["cow"]:
+        raise AssertionError(
+            f"MoR final state diverged from CoW: {len(states['mor'])} vs "
+            f"{len(states['cow'])} rows"
+        )
+    ops = [m.get("operation") for m in engines["mor"].table.snapshot_history()]
+    if "merge-mor" not in ops:
+        raise AssertionError(f"no merge-mor commit in history: {ops}")
+    engines["mor"].table.compact(spark)
+    post = sorted(
+        (r.url, r.lang, None if r.text is None else r.text)
+        for r in engines["mor"].table.read(spark).select("url", "lang", "text").collect()
+    )
+    if post != states["cow"]:
+        raise AssertionError("compaction changed the table state")
+    return (
+        engines["mor"]
+        .state()
+        .select(
+            "url",
+            F.length("text").cast("long").alias("text_len"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        )
+    )
+
+
 @_q("cdc_pruned_read")
 def cdc_pruned_read(spark, sf_dir):
     """Manifest file skipping on a lake table (Iceberg data-file-stats

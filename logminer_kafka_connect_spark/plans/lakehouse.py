@@ -95,6 +95,14 @@ SET_COLS_COL = "__set_cols"  # array<string>: columns explicitly set; null => fu
 BUCKET_COL = "__bucket"
 
 
+def _all_data_paths(m: dict) -> set[str]:
+    """Every data dir a manifest references: base bucket files plus
+    uncompacted merge-on-read delta dirs."""
+    paths = {p for ps in m["buckets"].values() for p in ps}
+    paths |= {p for ps in m.get("deltas", {}).values() for p in ps}
+    return paths
+
+
 def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
@@ -384,8 +392,11 @@ class SnapshotTable:
         column_defaults: dict[str, Any] | None = None,
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
+        merge_mode: str = "cow",
         fs=None,
     ) -> "SnapshotTable":
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         t = cls(path, fs=fs)
         if t.exists():
             raise ValueError(f"table already exists at {path}")
@@ -417,6 +428,15 @@ class SnapshotTable:
             # two-level Iceberg skipping story (file stats + sort order)
             "sort_cols": sort_cols or [],
             "column_defaults": column_defaults or {},
+            # write strategy: 'cow' rewrites touched buckets per merge
+            # (read-optimized); 'mor' appends per-batch delta files and
+            # folds them at read time (write-optimized — Iceberg v2
+            # equality-delete analog), bounded by compact()
+            "merge_mode": merge_mode,
+            # bucket id (str) -> ordered uncompacted delta dirs (mor only)
+            "deltas": {},
+            # delta dir -> committing version (read-time latest-per-key order)
+            "delta_seq": {},
             "applied_batch_ids": [],
             "summary": {"total_rows": 0},
         }
@@ -433,7 +453,13 @@ class SnapshotTable:
             return frozenset(cols)
         return frozenset(spark.read.parquet(path).schema.names)
 
-    def _read_paths(self, spark: SparkSession, paths: list[str], meta: dict) -> DataFrame:
+    def _read_paths(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        meta: dict,
+        extra_fields: list[T.StructField] | None = None,
+    ) -> DataFrame:
         """Read data files and reconcile them to the manifest schema.
 
         Files are grouped by their *physical* schema so that:
@@ -443,10 +469,15 @@ class SnapshotTable:
           newer file stays NULL (``issues/Issue14Test.kt:93-116``);
         - renames reconcile by reading the old physical name
           (``rename_column`` is metadata-only).
+
+        ``extra_fields`` are control columns passed through after the data
+        columns when physically present (else NULL) — the merge-on-read
+        delta reader uses it for ``__op``.
         """
         schema = T.StructType.fromJson(meta["schema"])
+        out_fields = list(schema.fields) + list(extra_fields or [])
         if not paths:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], T.StructType(out_fields))
         renames = {old: new for old, new in meta.get("renames", [])}
         defaults = meta.get("column_defaults", {})
 
@@ -463,12 +494,14 @@ class SnapshotTable:
                     df = df.withColumnRenamed(old, new)
                     have = (have - {old}) | {new}
             cols = []
-            for field in schema.fields:
+            for field in out_fields:
                 if field.name in have:
                     c = F.col(field.name).cast(field.dataType)
-                else:
+                elif field.name in schema.fieldNames():
                     d = defaults.get(field.name)
                     c = F.lit(d).cast(field.dataType) if d is not None else F.lit(None).cast(field.dataType)
+                else:
+                    c = F.lit(None).cast(field.dataType)
                 cols.append(c.alias(field.name))
             parts.append(df.select(*cols))
         out = parts[0]
@@ -476,16 +509,139 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    # ----------------------------------------------------- merge-on-read fold
+    def _delta_buckets(self, meta: dict) -> set[str]:
+        return {b for b, ps in meta.get("deltas", {}).items() if ps}
+
+    def _read_delta_rows(
+        self, spark: SparkSession, meta: dict, buckets: list[str], recon_meta: dict | None = None
+    ) -> DataFrame:
+        """Uncompacted delta rows of the given buckets, reconciled to the
+        manifest schema (``recon_meta`` overrides for changelog reads), plus
+        ``__op`` and ``__seq`` (committing version). One scan per delta
+        VERSION, not per dir — the uncompacted-version count is bounded by
+        the compaction cadence, so the union stays shallow."""
+        seq_of = meta.get("delta_seq", {})
+        by_seq: dict[int, list[str]] = {}
+        for b in buckets:
+            for p in meta.get("deltas", {}).get(str(b), []):
+                by_seq.setdefault(int(seq_of.get(p, 0)), []).append(p)
+        extra = [
+            T.StructField(OP_COL, T.StringType()),
+            T.StructField(SET_COLS_COL, T.ArrayType(T.StringType())),
+        ]
+        rm = recon_meta or meta
+        parts = [
+            self._read_paths(spark, sorted(ps), rm, extra_fields=extra)
+            .withColumn("__seq", F.lit(seq))
+            for seq, ps in sorted(by_seq.items())
+        ]
+        if not parts:
+            schema = T.StructType.fromJson(rm["schema"])
+            fields = list(schema.fields) + extra + [T.StructField("__seq", T.IntegerType())]
+            return spark.createDataFrame([], T.StructType(fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _fold_deltas(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        base: DataFrame,
+        buckets: list[str],
+        recon_meta: dict | None = None,
+    ) -> DataFrame:
+        """Merge-on-read: replay the uncompacted deltas of ``buckets`` on
+        top of their base rows, per key, in commit order — the FULL merge
+        contract (delete / full-row / partial ``__set_cols``), bit-equal
+        to the same batches applied copy-on-write sequentially.
+
+        Shape: the per-key event list is ``collect_list`` + ``sort_array``
+        (bounded by the compaction cadence × one row per key per batch),
+        the fold itself is a single ``F.aggregate`` lambda — pure Catalyst,
+        codegen, no UDF — and the whole thing is scoped to delta-touched
+        buckets: clean buckets union in verbatim above this operator. Two
+        key-shuffles (event grouping, base join), both AQE-eligible."""
+        rm = recon_meta or meta
+        key_cols = rm["key_cols"]
+        schema = T.StructType.fromJson(rm["schema"])
+        data_cols = [f.name for f in schema.fields]
+        row_type = T.StructType([T.StructField(f.name, f.dataType) for f in schema.fields])
+
+        delta = self._read_delta_rows(spark, meta, buckets, recon_meta)
+        ev = F.struct(
+            F.col("__seq").alias("seq"),
+            F.col(OP_COL).alias("op"),
+            F.col(SET_COLS_COL).alias("sc"),
+            F.struct(*[F.col(c) for c in data_cols]).alias("row"),
+        )
+        per_key = (
+            delta.select(*key_cols, ev.alias("__ev"))
+            .groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list("__ev")).alias("__evs"))
+        )
+        j = base.withColumn("__present", F.lit(True)).join(
+            per_key, key_cols, "full_outer"
+        )
+        init = F.when(
+            F.col("__present").isNotNull(),
+            F.struct(*[F.col(c) for c in data_cols]),
+        ).otherwise(F.lit(None).cast(row_type))
+
+        def step(img, e):
+            # same column rules as the CoW merge: no running image means
+            # INSERT (take the event row — un-set columns are already
+            # NULL in the source, key columns are populated); otherwise
+            # explicitly-set (or full-row) takes the event value — an
+            # explicit NULL stays NULL — and un-set keeps the image
+            gated = F.struct(
+                *[
+                    F.when(
+                        e["sc"].isNull() | F.array_contains(e["sc"], c),
+                        e["row"][c],
+                    )
+                    .otherwise(img[c])
+                    .alias(c)
+                    for c in data_cols
+                ]
+            )
+            new_row = F.when(img.isNull(), e["row"]).otherwise(gated)
+            return F.when(e["op"] == "d", F.lit(None).cast(row_type)).otherwise(new_row)
+
+        folded = F.when(
+            F.col("__evs").isNull(), init
+        ).otherwise(F.aggregate(F.col("__evs"), init, step))
+        return (
+            j.withColumn("__img", folded)
+            .filter(F.col("__img").isNotNull())
+            .select(*[F.col(f"__img.{c}").alias(c) for c in data_cols])
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot (time-travel) read. Replaces flashback ``AS OF SCN``."""
+        """Snapshot (time-travel) read. Replaces flashback ``AS OF SCN``.
+        On a merge-on-read table, uncompacted deltas fold in transparently."""
         meta = self.metadata(version)
-        paths = sorted({p for ps in meta["buckets"].values() for p in ps})
-        return self._read_paths(spark, paths, meta)
+        ids = sorted({int(b) for b in meta["buckets"]} | {int(b) for b in self._delta_buckets(meta)})
+        return self._read_buckets_of(spark, meta, ids)
 
     def read_buckets(self, spark: SparkSession, buckets: list[int], version: int | None = None) -> DataFrame:
-        meta = self.metadata(version)
-        paths = sorted({p for b in buckets for p in meta["buckets"].get(str(b), [])})
-        return self._read_paths(spark, paths, meta)
+        return self._read_buckets_of(spark, self.metadata(version), buckets)
+
+    def _read_buckets_of(
+        self, spark: SparkSession, meta: dict, buckets: list[int], recon_meta: dict | None = None
+    ) -> DataFrame:
+        touched = self._delta_buckets(meta)
+        clean = [b for b in buckets if str(b) not in touched]
+        dirty = [str(b) for b in buckets if str(b) in touched]
+        clean_paths = sorted({p for b in clean for p in meta["buckets"].get(str(b), [])})
+        out = self._read_paths(spark, clean_paths, recon_meta or meta)
+        if dirty:
+            base_paths = sorted({p for b in dirty for p in meta["buckets"].get(b, [])})
+            base = self._read_paths(spark, base_paths, recon_meta or meta)
+            out = out.unionByName(self._fold_deltas(spark, meta, base, dirty, recon_meta))
+        return out
 
     def _stat_aliases(self, col: str, meta: dict) -> set[str]:
         """Physical names a stats column may be recorded under: files
@@ -556,10 +712,25 @@ class SnapshotTable:
     ) -> DataFrame:
         """Snapshot read with manifest min/max file skipping for
         ``lo <= col <= hi``; the predicate is ALSO applied to the surviving
-        rows, so results never depend on stats correctness."""
+        rows, so results never depend on stats correctness.
+
+        Merge-on-read: deltas carry no file stats, so ALL delta rows of
+        touched buckets enter the fold (they are batch-sized between
+        compactions) and base files prune normally — a base file skipped by
+        stats holds no predicate-matching rows, and any row a delta
+        upserted INTO the predicate range arrives via the delta side, so
+        pruning composes with the fold without correctness loss."""
         meta = self.metadata(version)
         kept, _ = self.prune_files(col, lo, hi, version)
-        df = self._read_paths(spark, kept, meta)
+        touched = self._delta_buckets(meta)
+        if touched:
+            dirty_base = {p for b in touched for p in meta["buckets"].get(b, [])}
+            clean_kept = [p for p in kept if p not in dirty_base]
+            df = self._read_paths(spark, clean_kept, meta)
+            base = self._read_paths(spark, sorted(dirty_base & set(kept)), meta)
+            df = df.unionByName(self._fold_deltas(spark, meta, base, sorted(touched)))
+        else:
+            df = self._read_paths(spark, kept, meta)
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -578,11 +749,14 @@ class SnapshotTable:
         mt = self.metadata(to_version)
         if mf["n_buckets"] != mt["n_buckets"]:
             return None
-        return [
-            b
-            for b in range(mt["n_buckets"])
-            if sorted(mf["buckets"].get(str(b), [])) != sorted(mt["buckets"].get(str(b), []))
-        ]
+
+        def sig(m, b):  # base file list + uncompacted delta list (mor)
+            return (
+                sorted(m["buckets"].get(str(b), [])),
+                sorted(m.get("deltas", {}).get(str(b), [])),
+            )
+
+        return [b for b in range(mt["n_buckets"]) if sig(mf, b) != sig(mt, b)]
 
     def read_changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
@@ -618,18 +792,17 @@ class SnapshotTable:
 
         cb = self.changed_buckets(from_version, to_version)
         if cb is None:  # bucket-spec changed: full compare
-            f_paths = sorted({p for ps in meta_from["buckets"].values() for p in ps})
-            t_paths = sorted({p for ps in meta_to["buckets"].values() for p in ps})
+            cb_f = sorted({int(b) for b in meta_from["buckets"]} | {int(b) for b in self._delta_buckets(meta_from)})
+            cb_t = sorted({int(b) for b in meta_to["buckets"]} | {int(b) for b in self._delta_buckets(meta_to)})
         else:
-            f_paths = sorted({p for b in cb for p in meta_from["buckets"].get(str(b), [])})
-            t_paths = sorted({p for b in cb for p in meta_to["buckets"].get(str(b), [])})
+            cb_f = cb_t = cb
         # both sides reconciled to the DESTINATION logical schema (renames
         # applied, added-column defaults filled) so metadata-only changes
-        # compare equal
-        f = self._read_paths(spark, f_paths, meta_to).select(
+        # compare equal; merge-on-read deltas fold in per side
+        f = self._read_buckets_of(spark, meta_from, cb_f, recon_meta=meta_to).select(
             *key_cols, row_struct.alias("__before")
         )
-        t = self._read_paths(spark, t_paths, meta_to).select(
+        t = self._read_buckets_of(spark, meta_to, cb_t, recon_meta=meta_to).select(
             *key_cols, row_struct.alias("__after")
         )
         j = f.join(t, key_cols, "full_outer")
@@ -732,6 +905,8 @@ class SnapshotTable:
             operation="overwrite",
             timestamp=time.time(),
             buckets=buckets,
+            deltas={},  # a full overwrite supersedes any outstanding deltas
+            delta_seq={},
             data_columns=data_columns,
             file_stats=file_stats,
             batch_id=batch_id,
@@ -786,11 +961,30 @@ class SnapshotTable:
         ``scn_hi`` — the batch's *exclusive* commit-SCN ceiling (bounded
         replay only): compacts the applied-id record into the
         ``applied_scn_hi`` watermark instead of growing a list forever.
+
+        On a ``merge_mode='mor'`` table the batch is instead APPENDED as
+        per-bucket delta files (one write, no target read — Iceberg v2
+        equality-delete analog) and replayed per key at read time with the
+        same delete / full-row / partial ``__set_cols`` semantics; see
+        ``_merge_mor``/``_fold_deltas``/``compact``.
         """
         meta = self.metadata()
         if batch_id is not None and self.is_applied(batch_id, scn_hi=scn_hi):
             return MergeStats(False, meta["version"], 0, 0)
+        if meta.get("merge_mode", "cow") == "mor":
+            return self._merge_mor(spark, source, meta, batch_id, scn_hi, pre_commit_check)
+        return self._merge_cow(spark, source, meta, batch_id, prune_buckets, scn_hi, pre_commit_check)
 
+    def _merge_cow(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        meta: dict,
+        batch_id: str | None,
+        prune_buckets: bool,
+        scn_hi: int | None,
+        pre_commit_check,
+    ) -> MergeStats:
         key_cols = meta["key_cols"]
         n_buckets = meta["n_buckets"]
         schema = T.StructType.fromJson(meta["schema"])
@@ -897,7 +1091,19 @@ class SnapshotTable:
             buckets.pop(str(b), None)
         for b, paths in new_buckets_map.items():
             buckets[b] = paths
-        live = {p for paths in buckets.values() for p in paths}
+        # a CoW rewrite of a bucket folds in and supersedes its outstanding
+        # merge-on-read deltas (read_buckets applied them to the target)
+        affected_strs = {str(b) for b in affected}
+        deltas = {
+            b: ps
+            for b, ps in meta.get("deltas", {}).items()
+            if ps and b not in affected_strs
+        }
+        live_deltas = {p for ps in deltas.values() for p in ps}
+        delta_seq = {
+            p: v for p, v in meta.get("delta_seq", {}).items() if p in live_deltas
+        }
+        live = {p for paths in buckets.values() for p in paths} | live_deltas
         data_columns = {
             p: cols for p, cols in meta.get("data_columns", {}).items() if p in live
         }
@@ -916,6 +1122,8 @@ class SnapshotTable:
             operation="merge",
             timestamp=time.time(),
             buckets=buckets,
+            deltas=deltas,
+            delta_seq=delta_seq,
             data_columns=data_columns,
             file_stats=file_stats,
             batch_id=batch_id,
@@ -924,6 +1132,149 @@ class SnapshotTable:
         )
         self._commit(new_meta)
         return MergeStats(True, version, len(affected), n_src)
+
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        meta: dict,
+        batch_id: str | None,
+        scn_hi: int | None,
+        pre_commit_check,
+    ) -> MergeStats:
+        """Merge-on-read write path: append the net-effect batch as
+        per-bucket delta files — ONE narrow write job, no target read, no
+        join: the 10^10-event answer to copy-on-write's whole-bucket
+        rewrite when batches are small relative to bucket size (Iceberg v2
+        equality-deletes + data files in a single pass). The full merge
+        contract rides along — ``__op`` AND ``__set_cols`` are persisted,
+        so deletes, full rows, and partial updates all replay exactly in
+        the read-time fold (``_fold_deltas``). Read amplification is
+        bounded by ``compact()``."""
+        from pyspark.sql import Observation
+
+        key_cols = meta["key_cols"]
+        n_buckets = meta["n_buckets"]
+        schema = T.StructType.fromJson(meta["schema"])
+        data_cols = [f.name for f in schema.fields]
+        version = meta["version"] + 1
+
+        obs = Observation()
+        set_cols_c = (
+            F.col(SET_COLS_COL).cast(T.ArrayType(T.StringType()))
+            if SET_COLS_COL in source.columns
+            else F.lit(None).cast(T.ArrayType(T.StringType()))
+        )
+        out = (
+            source.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields],
+                F.col(OP_COL).cast("string").alias(OP_COL),
+                set_cols_c.alias(SET_COLS_COL),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n_src"))
+            .withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+        )
+        delta_dir = os.path.join(
+            self._data_dir, f"commit-{version:06d}-{uuid.uuid4().hex[:8]}-delta"
+        )
+        (
+            out.repartition(min(n_buckets, 32), F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(delta_dir)
+        )
+        n_src = int(obs.get["n_src"] or 0)
+        if pre_commit_check is not None and not pre_commit_check():
+            self.fs.delete(delta_dir)
+            return MergeStats(False, meta["version"], 0, n_src)
+
+        mapping: dict[str, str] = {}
+        if self.fs.exists(delta_dir):
+            for name in self.fs.listdir(delta_dir):
+                if name.startswith(f"{BUCKET_COL}="):
+                    mapping[name.split("=", 1)[1]] = os.path.join(delta_dir, name)
+        if not mapping:  # empty batch: nothing to commit
+            self.fs.delete(delta_dir)
+
+        deltas = {b: list(ps) for b, ps in meta.get("deltas", {}).items()}
+        delta_seq = dict(meta.get("delta_seq", {}))
+        data_columns = dict(meta.get("data_columns", {}))
+        for b, p in mapping.items():
+            deltas.setdefault(b, []).append(p)
+            delta_seq[p] = version
+            data_columns[p] = data_cols + [OP_COL, SET_COLS_COL]
+        new_meta = dict(meta)
+        new_meta.update(
+            version=version,
+            operation="merge-mor",
+            timestamp=time.time(),
+            deltas=deltas,
+            delta_seq=delta_seq,
+            data_columns=data_columns,
+            batch_id=batch_id,
+            summary={"source_rows": n_src, "delta_buckets": len(mapping)},
+            **self._advance_applied(meta, batch_id, scn_hi),
+        )
+        self._commit(new_meta)
+        return MergeStats(True, version, len(mapping), n_src)
+
+    @_with_writer_lock
+    def compact(self, spark: SparkSession) -> dict[str, Any]:
+        """Fold all outstanding merge-on-read deltas into their buckets'
+        base files (Iceberg ``rewrite_data_files`` over the delete-bearing
+        partitions). One committed version: touched buckets are read
+        through the fold and rewritten; clean buckets and all exactly-once
+        state carry forward untouched. Run on a cadence (every K batches /
+        when delta depth passes a bound) so read amplification stays O(K).
+        Time travel to pre-compaction versions still folds their deltas."""
+        meta = self.metadata()
+        touched = sorted(int(b) for b in self._delta_buckets(meta))
+        if not touched:
+            return {"version": meta["version"], "compacted_buckets": 0}
+        key_cols = meta["key_cols"]
+        n_buckets = meta["n_buckets"]
+        schema = T.StructType.fromJson(meta["schema"])
+        data_cols = [f.name for f in schema.fields]
+        version = meta["version"] + 1
+        merged = self._read_buckets_of(spark, meta, touched).withColumn(
+            BUCKET_COL, _bucket_expr(key_cols, n_buckets)
+        )
+        merged = merged.repartition(min(n_buckets, 32), F.col(BUCKET_COL))
+        new_map, new_stats = self._write_buckets(merged, version, pre_partitioned=True)
+
+        buckets = dict(meta["buckets"])
+        for b in touched:
+            buckets.pop(str(b), None)
+        for b, paths in new_map.items():
+            buckets[b] = paths
+        n_delta_dirs = sum(len(ps) for ps in meta.get("deltas", {}).values())
+        live = {p for paths in buckets.values() for p in paths}
+        data_columns = {
+            p: cols for p, cols in meta.get("data_columns", {}).items() if p in live
+        }
+        for paths in new_map.values():
+            for p in paths:
+                data_columns[p] = data_cols
+        file_stats = {p: s for p, s in meta.get("file_stats", {}).items() if p in live}
+        file_stats.update(new_stats)
+        new_meta = dict(meta)
+        new_meta.update(
+            version=version,
+            operation="compact",
+            timestamp=time.time(),
+            buckets=buckets,
+            deltas={},
+            delta_seq={},
+            data_columns=data_columns,
+            file_stats=file_stats,
+            summary={"compacted_buckets": len(touched), "delta_dirs_folded": n_delta_dirs},
+        )
+        self._commit(new_meta)
+        return {
+            "version": version,
+            "compacted_buckets": len(touched),
+            "delta_dirs_folded": n_delta_dirs,
+        }
 
     # ------------------------------------------------------ schema evolution
     def add_column(self, name: str, data_type: T.DataType, default: Any = None) -> int:
@@ -1039,6 +1390,10 @@ class SnapshotTable:
             timestamp=time.time(),
             n_buckets=n_buckets,
             buckets=buckets,
+            # rows were materialized through the delta fold (self.read), so
+            # outstanding merge-on-read deltas are absorbed here
+            deltas={},
+            delta_seq={},
             data_columns={p: written_cols for ps in buckets.values() for p in ps},
             file_stats=file_stats,
         )
@@ -1083,7 +1438,7 @@ class SnapshotTable:
                 m = self.metadata(v)
             except Exception:
                 continue  # already expired by a concurrent expiry
-            live_paths |= {p for ps in m["buckets"].values() for p in ps}
+            live_paths |= _all_data_paths(m)
         expired_versions = []
         expired_paths: set[str] = set()
         for name in self.fs.listdir(self._meta_dir):
@@ -1097,7 +1452,7 @@ class SnapshotTable:
                     m = self.metadata(int(mm.group(1)))
                 except Exception:
                     continue
-                expired_paths |= {p for ps in m["buckets"].values() for p in ps}
+                expired_paths |= _all_data_paths(m)
         n_dirs = 0
         parents: set[str] = set()
         for p in expired_paths - live_paths:
@@ -1138,7 +1493,7 @@ class SnapshotTable:
                     m = self.metadata(int(mm.group(1)))
                 except Exception:
                     continue
-                referenced |= {p for ps in m["buckets"].values() for p in ps}
+                referenced |= _all_data_paths(m)
         now = time.time()
         n = 0
         for name in self.fs.listdir(self._data_dir):
