@@ -1818,6 +1818,75 @@ def cdc_mor_replay(spark, sf_dir):
     )
 
 
+@_q("cdc_point_lookup")
+def cdc_point_lookup(spark, sf_dir):
+    """Point lookup on the replicated table (bucket-transform partition
+    pruning, the CDC serving pattern): current rows for k explicit keys
+    read at most k hash buckets' files, independent of table size. The
+    table is merge-on-read with a live partial-update + delete batch, so
+    the lookup also exercises the delta fold. Rows-only in DuckDB terms
+    (the read is over the engine's own table) but SELF-VERIFYING: the
+    entry asserts the bucket-pruned lookup equals the full-scan filter
+    row-for-row, that the deleted key is absent, that the partial update
+    landed, AND that strictly fewer buckets than the table holds were
+    resolved — before returning anything."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.plans.lakehouse import (
+        OP_COL,
+        SET_COLS_COL,
+        _bucket_expr,
+        SnapshotTable,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="lmkc-ptlk-")
+    table = SnapshotTable.create(
+        f"{workdir}/docs", docs.schema, ["doc_id"], n_buckets=16, merge_mode="mor"
+    )
+    table.overwrite(docs)
+    upd = (
+        docs.filter(F.col("doc_id").isin([3, 7]))
+        .withColumn("lang", F.lit("xx"))
+        .withColumn(OP_COL, F.lit("u"))
+        .withColumn(SET_COLS_COL, F.array(F.lit("lang")))
+    )
+    dele = (
+        docs.filter(F.col("doc_id") == 11)
+        .withColumn(OP_COL, F.lit("d"))
+        .withColumn(SET_COLS_COL, F.lit(None).cast("array<string>"))
+    )
+    table.merge(spark, upd.unionByName(dele), batch_id="ptlk-b1")
+
+    keys = [3, 7, 11, 42, 123456789]  # updated, updated, deleted, clean, absent
+    got = sorted(
+        (r.doc_id, r.lang, r.n_chars)
+        for r in table.read_for_keys(spark, keys).select("doc_id", "lang", "n_chars").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.lang, r.n_chars)
+        for r in table.read(spark)
+        .filter(F.col("doc_id").isin(keys))
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    if got != want:
+        raise AssertionError(f"point lookup diverged from full scan: {got} vs {want}")
+    if any(d == 11 for d, _, _ in got):
+        raise AssertionError("deleted key survived the lookup fold")
+    if sorted(d for d, lang, _ in got if lang == "xx") != [3, 7]:
+        raise AssertionError(f"partial update missing from lookup: {got}")
+    n_buckets_hit = (
+        spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        .select(_bucket_expr(["doc_id"], 16).alias("b"))
+        .distinct()
+        .count()
+    )
+    if not n_buckets_hit < 16:
+        raise AssertionError("lookup resolved every bucket — pruning is vacuous")
+    return table.read_for_keys(spark, keys).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 @_q("cdc_pruned_read")
 def cdc_pruned_read(spark, sf_dir):
     """Manifest file skipping on a lake table (Iceberg data-file-stats

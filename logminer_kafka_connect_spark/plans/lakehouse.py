@@ -629,6 +629,43 @@ class SnapshotTable:
     def read_buckets(self, spark: SparkSession, buckets: list[int], version: int | None = None) -> DataFrame:
         return self._read_buckets_of(spark, self.metadata(version), buckets)
 
+    def read_for_keys(
+        self, spark: SparkSession, key_values: list, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup: current rows for explicit key values, reading ONLY
+        the hash buckets those keys live in — for k keys at most k buckets'
+        files are opened, independent of table size (the bucketed-layout
+        analog of Iceberg bucket-transform partition pruning; the serving
+        pattern of a CDC-replicated table). Buckets are resolved with the
+        SAME ``xxhash64``-based expression the writer uses (one k-row local
+        job, no reimplementation to drift), the scan is pruned to them, and
+        the key predicate then filters within — so results never depend on
+        pruning correctness. Merge-on-read deltas of those buckets fold in
+        transparently. Single-column keys only (the engine's shape)."""
+        meta = self.metadata(version)
+        key_cols = meta["key_cols"]
+        if len(key_cols) != 1:
+            raise ValueError("read_for_keys supports single-column keys")
+        key = key_cols[0]
+        if not key_values:
+            return spark.createDataFrame([], T.StructType.fromJson(meta["schema"]))
+        key_type = next(
+            f.dataType for f in T.StructType.fromJson(meta["schema"]).fields if f.name == key
+        )
+        keys_df = spark.createDataFrame(
+            [(v,) for v in key_values], T.StructType([T.StructField(key, key_type)])
+        )
+        buckets = sorted(
+            r[0]
+            for r in keys_df.select(
+                _bucket_expr(key_cols, meta["n_buckets"]).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        out = self._read_buckets_of(spark, meta, buckets)
+        return out.filter(F.col(key).isin(list(key_values)))
+
     def _read_buckets_of(
         self, spark: SparkSession, meta: dict, buckets: list[int], recon_meta: dict | None = None
     ) -> DataFrame:

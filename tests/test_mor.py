@@ -228,3 +228,36 @@ def test_clean_buckets_bypass_the_fold(spark, tmpdir_path):
     assert "Union" in plan and "Join" in plan
     assert plan.index("Union") < plan.index("Join"), plan
     assert clean_paths, "test needs at least one clean bucket"
+
+
+def test_point_lookup_matches_full_scan_both_modes(spark, tmpdir_path):
+    """read_for_keys == full-scan filter on both write modes, with the MoR
+    side carrying uncompacted deltas (update + delete) at lookup time."""
+    cow, mor = _twin_tables(spark, tmpdir_path)
+    for t in (cow, mor):
+        t.merge(spark, _batch(spark, BATCHES[0]), batch_id="b0")
+        t.merge(spark, _batch(spark, BATCHES[1]), batch_id="b1")
+        keys = ["a", "b", "d", "nope"]
+        got = sorted(
+            (r.url, r.val, r.txt)
+            for r in t.read_for_keys(spark, keys).collect()
+        )
+        want = sorted(
+            (r.url, r.val, r.txt)
+            for r in t.read(spark).filter(F.col("url").isin(keys)).collect()
+        )
+        assert got == want
+        assert "b" not in {u for u, _, _ in got}  # deleted in BATCHES[1]
+
+
+def test_point_lookup_empty_and_validation(spark, tmpdir_path):
+    cow, _ = _twin_tables(spark, tmpdir_path)
+    cow.merge(spark, _batch(spark, BATCHES[0]), batch_id="b0")
+    empty = cow.read_for_keys(spark, [])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["url", "val", "txt"]
+    two_key = SnapshotTable.create(
+        f"{tmpdir_path}/two", SCHEMA, ["url", "val"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="single-column"):
+        two_key.read_for_keys(spark, [("a", 1)])
