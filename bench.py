@@ -189,6 +189,70 @@ def run_headline(results: dict) -> float:
     return total
 
 
+def run_mor_write() -> dict:
+    """Copy-on-write vs merge-on-read write-path cost: the same 8-batch
+    update stream merged into a pre-seeded replicated table under both
+    modes, final states checksum-compared before anything is reported.
+    Batches are small relative to the table (~1% of rows each) — the
+    regime MoR exists for: CoW re-reads + rewrites every touched bucket
+    per batch, MoR appends one narrow delta write. MoR's one-time
+    compact() is timed separately and included in its total so the
+    comparison is honest end-to-end."""
+    from pyspark.sql import functions as F
+
+    from logminer_kafka_connect_spark.plans.lakehouse import (
+        OP_COL,
+        SET_COLS_COL,
+        SnapshotTable,
+    )
+
+    spark = _spark(f"local[{CPUS}]", CPUS)
+    # documents is small at every SF — replicate it deterministically to
+    # ~200k rows so the CoW side's bucket rewrites are data-bound (the
+    # thing being compared), not job-scheduling-bound
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = max(1, 200_000 // max(1, base.count()))
+    docs = (
+        base.crossJoin(spark.range(rep).withColumnRenamed("id", "__r"))
+        .withColumn("doc_id", F.col("doc_id") * rep + F.col("__r"))
+        .drop("__r")
+        .select(*base.columns)
+    ).localCheckpoint()
+    out: dict = {"seed_rows": docs.count(), "n_batches": 8}
+    sums = {}
+    for mode in ("cow", "mor"):
+        d = tempfile.mkdtemp(prefix=f"lmkc-morbench-{mode}-")
+        tbl = SnapshotTable.create(
+            f"{d}/t", docs.schema, ["doc_id"], n_buckets=32, merge_mode=mode
+        )
+        tbl.overwrite(docs)
+        t0 = time.time()
+        for i in range(out["n_batches"]):
+            batch = (
+                docs.filter((F.col("doc_id") % 97) == i)
+                .withColumn("lang", F.lit(f"b{i}"))
+                .withColumn(OP_COL, F.lit("u"))
+                .withColumn(SET_COLS_COL, F.array(F.lit("lang")))
+            )
+            tbl.merge(spark, batch, batch_id=f"m{i}")
+        out[f"{mode}_merge_s"] = round(time.time() - t0, 3)
+        if mode == "mor":
+            t0 = time.time()
+            tbl.compact(spark)
+            out["mor_compact_s"] = round(time.time() - t0, 3)
+        sums[mode] = tbl.read(spark).select(
+            F.sum(F.xxhash64("doc_id", "lang", "text")).alias("s")
+        ).collect()[0]["s"]
+        shutil.rmtree(d, ignore_errors=True)
+    if sums["cow"] != sums["mor"]:
+        raise AssertionError(f"MoR final state diverged from CoW: {sums}")
+    out["mor_total_s"] = round(out["mor_merge_s"] + out["mor_compact_s"], 3)
+    out["write_speedup_vs_cow"] = round(out["cow_merge_s"] / out["mor_merge_s"], 3)
+    spark.stop()
+    print(f"# mor_write: {out}", file=sys.stderr)
+    return out
+
+
 def _replay_once(
     n_cpus: int,
     events_path: str,
@@ -840,6 +904,9 @@ def run_scaling(results: dict) -> dict:
 def main():
     results: dict = {}
     total = run_headline(results)
+    t0 = time.time()
+    mor_write = run_mor_write()
+    total += time.time() - t0
     cdc = None
     if not SKIP_SCALING:
         t0 = time.time()
@@ -852,6 +919,7 @@ def main():
         "queries": results,
         "sf": _sf_of(SF_DIR),
     }
+    out["mor_write"] = mor_write
     if cdc is not None:
         out["cdc"] = cdc
     print(json.dumps(out))
