@@ -48,6 +48,7 @@ class CdcEngine:
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
         merge_mode: str = "cow",
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -77,6 +78,8 @@ class CdcEngine:
             quarantine_dir=os.path.join(workdir, "quarantine"),
         )
         self.driver.salt_chunks = salt_chunks
+        # mor read-amplification bound: fold deltas every K applied batches
+        self.driver.compact_every = compact_every
         self.config = None  # set by from_properties
 
     @classmethod

@@ -1255,6 +1255,13 @@ class SnapshotTable:
         self._commit(new_meta)
         return MergeStats(True, version, len(mapping), n_src)
 
+    def delta_depth(self) -> int:
+        """Number of uncompacted merge-on-read delta VERSIONS (i.e. merged
+        batches awaiting compaction) — the read-amplification bound a
+        compaction cadence keys off. 0 on copy-on-write tables."""
+        meta = self.metadata()
+        return len({v for v in meta.get("delta_seq", {}).values()})
+
     @_with_writer_lock
     def compact(self, spark: SparkSession) -> dict[str, Any]:
         """Fold all outstanding merge-on-read deltas into their buckets'

@@ -99,6 +99,11 @@ class ReplayDriver:
         # Bulk-replay plan switch: skip the per-bucket pre-count when a
         # batch is known to touch ~every bucket (see SnapshotTable.merge).
         self.prune_buckets = True
+        # Merge-on-read compaction cadence: after a batch lands, fold the
+        # deltas back into base files once ``delta_depth() >= compact_every``
+        # — bounds read amplification to O(compact_every) uncompacted
+        # batches. None (default) leaves compaction to the caller.
+        self.compact_every: int | None = None
         # C11: the salted partial-fold for hot-key skew (each key's events
         # split into salt_chunks commit-scn ranges; see
         # operators.dedup.salted_partials). "auto" (default) detects skew
@@ -578,6 +583,7 @@ class ReplayDriver:
                 n_applied += rec["n_net_rows"]
                 n_errors += rec["n_parse_errors"]
                 change_lo = rec["resume_change_lo"]
+                self._maybe_compact()
             else:
                 # watermark recorded when this range was first applied;
                 # None (full re-scan) if unavailable — safe, just slower
@@ -598,6 +604,15 @@ class ReplayDriver:
             final_version=self.table.current_version(),
         )
 
+    def _maybe_compact(self) -> None:
+        """Merge-on-read compaction cadence (no-op unless ``compact_every``
+        is set and the table has that many uncompacted delta batches).
+        Compaction commits its own version — crash-safe: a crash between
+        merge and compact just leaves deltas for the next trigger; the
+        depth check is one manifest read, no job."""
+        if self.compact_every and self.table.delta_depth() >= self.compact_every:
+            self.table.compact(self.spark)
+
     # ---------------------------------------------------------- streaming
     def process_markers(
         self,
@@ -616,6 +631,7 @@ class ReplayDriver:
         n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
             committed, batch_id, self.table, self.key_col
         )
+        self._maybe_compact()
         span = markers.agg(F.min("scn").alias("lo"), F.max("scn").alias("hi")).collect()[0]
         record = {
             "batch_id": batch_id,

@@ -261,3 +261,35 @@ def test_point_lookup_empty_and_validation(spark, tmpdir_path):
     )
     with pytest.raises(ValueError, match="single-column"):
         two_key.read_for_keys(spark, [("a", 1)])
+
+
+def test_auto_compaction_cadence_bounds_delta_depth(spark, tmpdir_path):
+    """CdcEngine(merge_mode='mor', compact_every=2): replaying 4 batches
+    auto-folds deltas every 2, the final state still equals the CoW twin,
+    and the uncompacted depth never exceeds the cadence."""
+    from logminer_kafka_connect_spark.engine import CdcEngine
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+
+    def run(mode, **kw):
+        gen = CdcGenerator(GeneratorConfig(seed=7, n_txns=40, n_urls=80, n_snapshot=40))
+        eng = CdcEngine(
+            spark, f"{tmpdir_path}/{mode}", n_buckets=8, merge_mode=mode, **kw
+        )
+        eng.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
+        eng.replay(gen.events_df(spark), n_batches=4)
+        state = sorted(
+            (r.url, r.lang, r.text)
+            for r in eng.state().select("url", "lang", "text").collect()
+        )
+        return eng, state
+
+    cow_eng, cow_state = run("cow")
+    mor_eng, mor_state = run("mor", compact_every=2)
+    assert mor_state == cow_state
+    ops = [m.get("operation") for m in mor_eng.table.snapshot_history()]
+    assert ops.count("compact") >= 2, ops
+    assert mor_eng.table.delta_depth() <= 2
