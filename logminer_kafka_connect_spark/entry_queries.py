@@ -1887,6 +1887,66 @@ def cdc_point_lookup(spark, sf_dir):
     return table.read_for_keys(spark, keys).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+@_q("cdc_bloom_lookup")
+def cdc_bloom_lookup(spark, sf_dir):
+    """Per-file BLOOM-FILTER skipping for equality probes (Parquet
+    bloom-filter / Iceberg parity) — the complement of cdc_pruned_read's
+    min/max stats for a high-cardinality column NOT clustered across
+    files: doc_id-keyed hash bucketing scatters n_chars uniformly, so
+    every file's [min, max] n_chars spans ~the whole domain and range
+    stats prune nothing, while the bloom still rules files out with
+    certainty. Rows-only in DuckDB terms (the read is over the engine's
+    own table) but SELF-VERIFYING: asserts min/max pruning is indeed
+    useless here (the honest motivation), that the bloom probe equals
+    the full-scan filter row-for-row, that files were actually skipped,
+    and that an absent probe returns nothing — before returning rows."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.plans.lakehouse import SnapshotTable
+
+    docs = t(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="lmkc-bloom-")
+    table = SnapshotTable.create(
+        f"{workdir}/docs",
+        docs.schema,
+        ["doc_id"],
+        n_buckets=8,
+        stats_cols=["n_chars"],
+        bloom_cols=["n_chars"],
+    )
+    table.overwrite(docs)
+    probe = docs.orderBy("doc_id").select("n_chars").first()["n_chars"]
+    n_files = sum(len(ps) for ps in table.metadata()["buckets"].values())
+    _, rng_skipped = table.prune_files("n_chars", probe, probe)
+    if len(rng_skipped) >= n_files - 1:
+        raise AssertionError(
+            "min/max already prunes this probe — bloom adds nothing, fixture broken"
+        )
+    kept, skipped = table.prune_files_eq(spark, "n_chars", probe)
+    if not skipped:
+        raise AssertionError("bloom skipped no files — recording broken?")
+    got = sorted(
+        (r.doc_id, r.n_chars)
+        for r in table.read_pruned_eq(spark, "n_chars", probe).select("doc_id", "n_chars").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_chars)
+        for r in table.read(spark)
+        .filter(F.col("n_chars") == probe)
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    if got != want or not got:
+        raise AssertionError(f"bloom read diverged: {got} vs {want}")
+    if table.read_pruned_eq(spark, "n_chars", -1).count() != 0:
+        raise AssertionError("absent probe returned rows")
+    return (
+        table.read_pruned_eq(spark, "n_chars", probe)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 @_q("cdc_pruned_read")
 def cdc_pruned_read(spark, sf_dir):
     """Manifest file skipping on a lake table (Iceberg data-file-stats

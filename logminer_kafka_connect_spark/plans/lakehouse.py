@@ -57,6 +57,7 @@ in flight, and orphan cleanup is age-gated.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -105,6 +106,19 @@ def _all_data_paths(m: dict) -> set[str]:
 
 def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+_BLOOM_SEED2 = -1640531527  # golden-ratio constant; decorrelates the 2nd hash
+
+
+def _bloom_pos_expr(col, i: int, m_bits: int):
+    """Bloom bit position i for a column value: pmod(h1 + i*h2, m) with
+    h1/h2 independent xxhash64 lanes. Used verbatim on BOTH the write side
+    (per-file collect_set) and the probe side (one-row job) so the two can
+    never disagree on overflow/sign semantics."""
+    h1 = F.xxhash64(F.col(col) if isinstance(col, str) else col)
+    h2 = F.xxhash64(F.col(col) if isinstance(col, str) else col, F.lit(_BLOOM_SEED2))
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)).cast("int")
 
 
 def _json_scalar(v):
@@ -393,6 +407,8 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         sort_cols: list[str] | None = None,
         merge_mode: str = "cow",
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 4096,
         fs=None,
     ) -> "SnapshotTable":
         if merge_mode not in ("cow", "mor"):
@@ -427,6 +443,16 @@ class SnapshotTable:
             # groups INSIDE the files that manifest pruning keeps — the
             # two-level Iceberg skipping story (file stats + sort order)
             "sort_cols": sort_cols or [],
+            # columns carrying a per-file bloom filter for EQUALITY
+            # skipping (Parquet bloom-filter / Iceberg parity): the
+            # complement of min/max stats for high-cardinality columns
+            # whose values are NOT clustered across files. Bitsets live
+            # under the reserved "__bloom__" key of each file's
+            # file_stats entry, so every stats carry-forward path
+            # (merge/compact/expiry) covers them with no extra code.
+            "bloom_cols": bloom_cols or [],
+            "bloom_bits": int(bloom_bits),
+            "bloom_k": 4,
             "column_defaults": column_defaults or {},
             # write strategy: 'cow' rewrites touched buckets per merge
             # (read-optimized); 'mor' appends per-batch delta files and
@@ -751,12 +777,13 @@ class SnapshotTable:
         ``lo <= col <= hi``; the predicate is ALSO applied to the surviving
         rows, so results never depend on stats correctness.
 
-        Merge-on-read: deltas carry no file stats, so ALL delta rows of
-        touched buckets enter the fold (they are batch-sized between
-        compactions) and base files prune normally — a base file skipped by
-        stats holds no predicate-matching rows, and any row a delta
-        upserted INTO the predicate range arrives via the delta side, so
-        pruning composes with the fold without correctness loss."""
+        Merge-on-read: delta-touched buckets BYPASS pruning — their whole
+        base must enter the fold, because a partial update (``__set_cols``)
+        can move a row INTO the predicate range while its un-set columns
+        still live only in the base file (pruning that file would fold the
+        event against a missing image and fabricate NULLs). Clean buckets
+        prune normally; the amplification is bounded by the compaction
+        cadence × touched buckets, not table size."""
         meta = self.metadata(version)
         kept, _ = self.prune_files(col, lo, hi, version)
         touched = self._delta_buckets(meta)
@@ -764,7 +791,7 @@ class SnapshotTable:
             dirty_base = {p for b in touched for p in meta["buckets"].get(b, [])}
             clean_kept = [p for p in kept if p not in dirty_base]
             df = self._read_paths(spark, clean_kept, meta)
-            base = self._read_paths(spark, sorted(dirty_base & set(kept)), meta)
+            base = self._read_paths(spark, sorted(dirty_base), meta)
             df = df.unionByName(self._fold_deltas(spark, meta, base, sorted(touched)))
         else:
             df = self._read_paths(spark, kept, meta)
@@ -773,6 +800,86 @@ class SnapshotTable:
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def _bloom_probe_positions(self, spark: SparkSession, col: str, value, meta: dict) -> list[int]:
+        """The k bloom bit positions of a probe value — evaluated by the
+        SAME Catalyst expression the write side aggregated (one one-row
+        local job), with the literal cast to the column's declared type so
+        the hash matches the stored column byte-for-byte."""
+        m_bits = int(meta.get("bloom_bits", 4096))
+        k = int(meta.get("bloom_k", 4))
+        col_type = next(
+            f.dataType for f in T.StructType.fromJson(meta["schema"]).fields if f.name == col
+        )
+        probe = F.lit(value).cast(col_type)
+        row = (
+            spark.range(1)
+            .select(*[_bloom_pos_expr(probe, i, m_bits).alias(f"p{i}") for i in range(k)])
+            .collect()[0]
+        )
+        return [row[f"p{i}"] for i in range(k)]
+
+    def prune_files_eq(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Manifest bloom-filter skipping for ``col = value`` (Parquet
+        bloom-filter / Iceberg parity): the equality complement of min/max
+        ``prune_files`` for high-cardinality columns whose values are NOT
+        clustered across files (min/max spans ~everything there; a bloom
+        still rules a file out with certainty). Guarantees:
+
+        - NO false negatives: a file containing the value always tests
+          positive (the bitset is a superset of its values' bit positions);
+        - a file with no recorded bloom for the column is kept (safety —
+          files written before the column existed, or under a pre-rename
+          physical name, resolve through the same alias chain as stats);
+        - false positives only COST (an extra file read), never corrupt:
+          callers re-apply the predicate (``read_pruned_eq``).
+
+        Pure manifest arithmetic plus one one-row hash job; NULL probes are
+        rejected (equality to NULL selects nothing in SQL semantics)."""
+        if value is None:
+            raise ValueError("bloom pruning is for non-null equality probes")
+        meta = self.metadata(version)
+        positions = self._bloom_probe_positions(spark, col, value, meta)
+        stats = meta.get("file_stats", {})
+        aliases = self._stat_aliases(col, meta)
+        paths = sorted({p for ps in meta["buckets"].values() for p in ps})
+        kept, skipped = [], []
+        for p in paths:
+            blooms = stats.get(p, {}).get("__bloom__", {})
+            rec = next((blooms[a] for a in aliases if a in blooms), None)
+            if rec is None:
+                kept.append(p)
+                continue
+            bits = int.from_bytes(base64.b64decode(rec), "big")
+            if all((bits >> pos) & 1 for pos in positions):
+                kept.append(p)
+            else:
+                skipped.append(p)
+        return kept, skipped
+
+    def read_pruned_eq(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with bloom file skipping for ``col = value``; the
+        predicate is ALSO applied to the surviving rows, so results never
+        depend on bloom correctness. Merge-on-read deltas compose exactly
+        as in ``read_pruned``: delta-touched buckets bypass pruning (their
+        whole base enters the fold — see read_pruned on why), clean files
+        prune normally."""
+        meta = self.metadata(version)
+        kept, _ = self.prune_files_eq(spark, col, value, version)
+        touched = self._delta_buckets(meta)
+        if touched:
+            dirty_base = {p for b in touched for p in meta["buckets"].get(b, [])}
+            clean_kept = [p for p in kept if p not in dirty_base]
+            df = self._read_paths(spark, clean_kept, meta)
+            base = self._read_paths(spark, sorted(dirty_base), meta)
+            df = df.unionByName(self._fold_deltas(spark, meta, base, sorted(touched)))
+        else:
+            df = self._read_paths(spark, kept, meta)
+        return df.filter(F.col(col) == F.lit(value))
 
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int] | None:
         """Buckets whose data-file lists differ between two versions.
@@ -900,25 +1007,51 @@ class SnapshotTable:
                     b = name.split("=", 1)[1]
                     mapping[b] = [os.path.join(out_dir, name)]
 
-        stats: dict[str, dict[str, list]] = {}
+        stats: dict[str, dict] = {}
         stats_cols = [c for c in meta.get("stats_cols", []) if c in df.columns]
-        if mapping and stats_cols:
+        bloom_cols = [c for c in meta.get("bloom_cols", []) if c in df.columns]
+        if mapping and (stats_cols or bloom_cols):
+            m_bits = int(meta.get("bloom_bits", 4096))
+            k = int(meta.get("bloom_k", 4))
+            aggs = [F.min(c).alias(f"min_{c}") for c in stats_cols]
+            aggs += [F.max(c).alias(f"max_{c}") for c in stats_cols]
+            for c in bloom_cols:
+                # Kirsch-Mitzenmacher double hashing: k positions from two
+                # base hashes, ALL arithmetic in Catalyst (the probe side
+                # evaluates the identical expression — zero drift risk);
+                # collect_set per lane is bounded by m_bits elements
+                for i in range(k):
+                    aggs.append(
+                        F.collect_set(
+                            _bloom_pos_expr(c, i, m_bits)
+                        ).alias(f"bloom_{c}_{i}")
+                    )
             rows = (
                 df.sparkSession.read.parquet(out_dir)
                 .groupBy(BUCKET_COL)
-                .agg(
-                    *[F.min(c).alias(f"min_{c}") for c in stats_cols],
-                    *[F.max(c).alias(f"max_{c}") for c in stats_cols],
-                )
+                .agg(*aggs)
                 .collect()
             )
             for r in rows:
                 b = str(r[BUCKET_COL])
-                if b in mapping:
-                    stats[mapping[b][0]] = {
-                        c: [_json_scalar(r[f"min_{c}"]), _json_scalar(r[f"max_{c}"])]
-                        for c in stats_cols
-                    }
+                if b not in mapping:
+                    continue
+                entry: dict = {
+                    c: [_json_scalar(r[f"min_{c}"]), _json_scalar(r[f"max_{c}"])]
+                    for c in stats_cols
+                }
+                if bloom_cols:
+                    bl = {}
+                    for c in bloom_cols:
+                        bits = 0
+                        for i in range(k):
+                            for pos in r[f"bloom_{c}_{i}"] or []:
+                                bits |= 1 << pos
+                        bl[c] = base64.b64encode(
+                            bits.to_bytes(m_bits // 8, "big")
+                        ).decode("ascii")
+                    entry["__bloom__"] = bl
+                stats[mapping[b][0]] = entry
         return mapping, stats
 
     @_with_writer_lock
