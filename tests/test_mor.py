@@ -293,3 +293,40 @@ def test_auto_compaction_cadence_bounds_delta_depth(spark, tmpdir_path):
     ops = [m.get("operation") for m in mor_eng.table.snapshot_history()]
     assert ops.count("compact") >= 2, ops
     assert mor_eng.table.delta_depth() <= 2
+
+
+def test_streaming_into_mor_table_with_cadence(spark, tmpdir_path):
+    """The production shape: Structured Streaming tail applied to a
+    merge-on-read table with auto-compaction — final state must equal the
+    generator's independent oracle, and compaction must actually have run
+    between triggers."""
+    import os
+
+    from logminer_kafka_connect_spark.engine import CdcEngine
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+    from tests.test_replay_e2e import _assert_state_equal
+    from tests.test_streaming import _write_event_log
+
+    gen = CdcGenerator(GeneratorConfig(seed=37, n_txns=80, n_urls=120, n_snapshot=40))
+    events_path = os.path.join(tmpdir_path, "events")
+    _write_event_log(spark, gen, events_path)
+    engine = CdcEngine(
+        spark, tmpdir_path, n_buckets=8, merge_mode="mor", compact_every=2
+    )
+    engine.load_snapshot(
+        spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1
+    )
+    q = engine.run_streaming(
+        events_path, os.path.join(tmpdir_path, "ckpt"), max_files_per_trigger=2
+    )
+    q.awaitTermination(300)
+    _assert_state_equal(
+        engine.state().toPandas(), gen.expected_final_state(include_snapshot=True)
+    )
+    ops = [m.get("operation") for m in engine.table.snapshot_history()]
+    assert "merge-mor" in ops and "compact" in ops, ops
+    assert engine.table.delta_depth() <= 2
