@@ -1887,6 +1887,74 @@ def cdc_point_lookup(spark, sf_dir):
     return table.read_for_keys(spark, keys).select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+@_q("cdc_rollback_recovery")
+def cdc_rollback_recovery(spark, sf_dir):
+    """Bad-batch recovery (Iceberg rollback_to_snapshot applied to CDC
+    exactly-once state): a poisoned batch lands on the replicated table,
+    ``rollback_to`` restores the last good version INCLUDING the applied-
+    batch-id ledger, and the corrected batch re-applies under the SAME
+    batch id. Rows-only in DuckDB terms (a multi-version MERGE lifecycle)
+    but SELF-VERIFYING: the entry asserts the poison is visible before
+    rollback, gone after, that the corrected batch actually lands (the
+    id was re-opened), that history still preserves the poisoned version
+    for audit, and that the final state equals an untouched twin that
+    never saw the poison — before returning anything."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.plans.lakehouse import (
+        OP_COL,
+        SET_COLS_COL,
+        SnapshotTable,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def upd(pred, lang):
+        return (
+            docs.filter(pred)
+            .withColumn("lang", F.lit(lang))
+            .withColumn(OP_COL, F.lit("u"))
+            .withColumn(SET_COLS_COL, F.array(F.lit("lang")))
+        )
+
+    def mk(name):
+        table = SnapshotTable.create(
+            f"{tempfile.mkdtemp(prefix='lmkc-rb-')}/{name}",
+            docs.schema,
+            ["doc_id"],
+            n_buckets=8,
+        )
+        table.overwrite(docs, batch_id="b0")
+        table.merge(spark, upd(F.col("doc_id") % 10 == 3, "aa"), batch_id="b1")
+        return table
+
+    table, twin = mk("main"), mk("twin")
+    v_good = table.current_version()
+    table.merge(spark, upd(F.col("doc_id") % 10 == 7, "POISON"), batch_id="b2")
+    if table.read(spark).filter(F.col("lang") == "POISON").count() == 0:
+        raise AssertionError("fixture broken: poison batch did not land")
+    v_poison = table.current_version()
+    table.rollback_to(v_good)
+    if table.read(spark).filter(F.col("lang") == "POISON").count() != 0:
+        raise AssertionError("rollback left poisoned rows")
+    if table.is_applied("b2"):
+        raise AssertionError("rollback did not re-open the batch id")
+    table.merge(spark, upd(F.col("doc_id") % 10 == 7, "bb"), batch_id="b2")
+    twin.merge(spark, upd(F.col("doc_id") % 10 == 7, "bb"), batch_id="b2")
+    got = sorted((r.doc_id, r.lang) for r in table.read(spark).select("doc_id", "lang").collect())
+    want = sorted((r.doc_id, r.lang) for r in twin.read(spark).select("doc_id", "lang").collect())
+    if got != want:
+        raise AssertionError("recovered state diverged from the never-poisoned twin")
+    if table.read(spark, version=v_poison).filter(F.col("lang") == "POISON").count() == 0:
+        raise AssertionError("history lost the poisoned version (audit trail broken)")
+    return (
+        table.read(spark)
+        .filter(F.col("lang").isin(["aa", "bb"]))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @_q("cdc_bloom_lookup")
 def cdc_bloom_lookup(spark, sf_dir):
     """Per-file BLOOM-FILTER skipping for equality probes (Parquet

@@ -1513,6 +1513,83 @@ class SnapshotTable:
         self._commit(new_meta)
         return new_meta["version"]
 
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN. Data files keep their bytes (drop is
+        O(1), no rewrite — Iceberg semantics); readers stop selecting the
+        column immediately. The dropped name is ALSO purged from every
+        file's ``data_columns`` record, so a later ``add_column`` of the
+        same name reads back the default/NULL — never resurrected pre-drop
+        bytes (the field-id discipline Iceberg gets from its format, done
+        here at the manifest). Rename pairs are kept: they keep mapping
+        pre-rename PHYSICAL names away from any same-named re-add, and
+        purging them could clobber a different current column that reuses
+        an old physical name. Key columns cannot drop."""
+        meta = self.metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        if name in meta["key_cols"]:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if name not in schema.fieldNames():
+            return meta["version"]  # idempotent
+        new_meta = dict(meta)
+        new_meta["data_columns"] = {
+            p: [c for c in cols if c != name]
+            for p, cols in meta.get("data_columns", {}).items()
+        }
+        new_meta["file_stats"] = {
+            p: {k: v for k, v in st.items() if k != name}
+            for p, st in meta.get("file_stats", {}).items()
+        }
+        defaults = dict(meta.get("column_defaults", {}))
+        defaults.pop(name, None)
+        new_meta.update(
+            version=meta["version"] + 1,
+            operation="drop_column",
+            timestamp=time.time(),
+            schema=T.StructType(
+                [f for f in schema.fields if f.name != name]
+            ).jsonValue(),
+            stats_cols=[c for c in meta.get("stats_cols", []) if c != name],
+            sort_cols=[c for c in meta.get("sort_cols", []) if c != name],
+            bloom_cols=[c for c in meta.get("bloom_cols", []) if c != name],
+            column_defaults=defaults,
+        )
+        self._commit(new_meta)
+        return new_meta["version"]
+
+    def rollback_to(self, version: int) -> int:
+        """Snapshot rollback (Iceberg ``rollback_to_snapshot``): commit a
+        NEW version whose content — data references, schema, bucket spec,
+        outstanding merge-on-read deltas, AND exactly-once state
+        (``applied_batch_ids``/``applied_scn_hi``) — is the target
+        version's. The bad-batch recovery story for a CDC table: roll back
+        past a poisoned batch and re-replay; the batch id is no longer
+        recorded as applied, so the corrected batch lands. History is
+        preserved (rollback is itself a committed version; nothing is
+        deleted), and the restored files are re-referenced by a LIVE
+        version so snapshot expiry keeps them."""
+        meta = self.metadata()
+        try:
+            target = self.metadata(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot roll back to v{version}: version expired (metadata gone)"
+            ) from None
+        missing = [p for p in _all_data_paths(target) if not self.fs.exists(p)]
+        if missing:
+            raise ValueError(
+                f"cannot roll back to v{version}: {len(missing)} data dirs "
+                f"already expired (first: {missing[0]})"
+            )
+        new_meta = dict(target)
+        new_meta.update(
+            version=meta["version"] + 1,
+            operation="rollback",
+            timestamp=time.time(),
+            summary={"rolled_back_to": version},
+        )
+        self._commit(new_meta)
+        return new_meta["version"]
+
     @_with_writer_lock
     def rebucket(self, spark: SparkSession, n_buckets: int) -> dict[str, Any]:
         """Bucket-spec evolution — the Iceberg partition-spec-evolution
