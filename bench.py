@@ -905,7 +905,10 @@ def main():
     results: dict = {}
     total = run_headline(results)
     t0 = time.time()
-    mor_write = run_mor_write()
+    try:
+        mor_write = run_mor_write()
+    except Exception as e:  # never lose the whole artifact to one section
+        mor_write = {"error": f"{type(e).__name__}: {e}"}
     total += time.time() - t0
     cdc = None
     if not SKIP_SCALING:
