@@ -504,7 +504,6 @@ class SnapshotTable:
         out_fields = list(schema.fields) + list(extra_fields or [])
         if not paths:
             return spark.createDataFrame([], T.StructType(out_fields))
-        renames = {old: new for old, new in meta.get("renames", [])}
         defaults = meta.get("column_defaults", {})
 
         groups: dict[frozenset[str], list[str]] = {}
@@ -513,16 +512,42 @@ class SnapshotTable:
 
         parts: list[DataFrame] = []
         for phys, group_paths in groups.items():
-            df = spark.read.parquet(*group_paths)
-            have = set(df.columns) & phys
-            for old, new in renames.items():
+            # Resolve each logical field to its physical name in this
+            # group by replaying the rename log over the physical names
+            # (the rename moves a pre-rename physical column away from a
+            # later re-added column of the same name — precedence matters
+            # and matches the recorded order). The group is then read with
+            # an EXPLICIT schema at the manifest types, so files written
+            # before a type widening (int -> long, float -> double) upcast
+            # in the scan itself (Spark parquet type promotion) instead of
+            # failing schema inference on a mixed-type union.
+            eff = {p: p for p in phys}  # physical name -> effective name
+            have = set(phys)
+            for old, new in meta.get("renames", []):
                 if old in have and new not in have:
-                    df = df.withColumnRenamed(old, new)
-                    have = (have - {old}) | {new}
+                    src = next(k for k, v in eff.items() if v == old)
+                    eff[src] = new
+                    have.remove(old)
+                    have.add(new)
+            by_eff = {v: k for k, v in eff.items()}
+            sel_map: dict[str, str] = {
+                f.name: by_eff[f.name] for f in out_fields if f.name in by_eff
+            }
+            read_schema = T.StructType(
+                [
+                    T.StructField(sel_map[f.name], f.dataType, True)
+                    for f in out_fields
+                    if f.name in sel_map
+                ]
+            )
+            if read_schema.fields:
+                df = spark.read.schema(read_schema).parquet(*group_paths)
+            else:  # every manifest column dropped from these files:
+                df = spark.read.parquet(*group_paths)  # row count only
             cols = []
             for field in out_fields:
-                if field.name in have:
-                    c = F.col(field.name).cast(field.dataType)
+                if field.name in sel_map:
+                    c = F.col(sel_map[field.name]).cast(field.dataType)
                 elif field.name in schema.fieldNames():
                     d = defaults.get(field.name)
                     c = F.lit(d).cast(field.dataType) if d is not None else F.lit(None).cast(field.dataType)
@@ -1552,6 +1577,78 @@ class SnapshotTable:
             sort_cols=[c for c in meta.get("sort_cols", []) if c != name],
             bloom_cols=[c for c in meta.get("bloom_cols", []) if c != name],
             column_defaults=defaults,
+        )
+        self._commit(new_meta)
+        return new_meta["version"]
+
+    # widenings that are exact for every representable value (Iceberg's
+    # allowed type promotions); nothing narrowing or lossy
+    _TYPE_PROMOTIONS = {
+        ("integer", "long"),
+        ("integer", "double"),
+        ("float", "double"),
+        ("short", "integer"),
+        ("short", "long"),
+        ("byte", "short"),
+        ("byte", "integer"),
+        ("byte", "long"),
+    }
+
+    def alter_column_type(self, name: str, new_type: T.DataType) -> int:
+        """Metadata-only type WIDENING (Iceberg type promotion): int->long,
+        float->double, date->timestamp, ... Existing files keep their
+        narrower physical type; ``_read_paths`` already casts every
+        physical column to the manifest type, so old and new files read
+        back uniformly widened. Narrowing/lossy changes are refused — they
+        would silently corrupt old rows at read time. KEY columns are
+        refused outright: the bucket layout is ``xxhash64`` of the key at
+        its manifest type, and Spark hashes int and long (etc.) to
+        different values — widening a key would silently divorce new
+        writes from the rows they must replace. Recorded per-file stats
+        and blooms for the column are dropped (kept-if-no-stats safety):
+        blooms especially were hashed at the OLD physical type and would
+        produce FALSE NEGATIVES against probes cast to the new one; fresh
+        writes re-record both at the widened type."""
+        meta = self.metadata()
+        schema = T.StructType.fromJson(meta["schema"])
+        if name in meta["key_cols"]:
+            raise ValueError(
+                f"cannot widen key column {name!r}: bucket hashing is type-sensitive"
+            )
+        if name not in schema.fieldNames():
+            raise ValueError(f"no such column: {name}")
+        old_type = next(f.dataType for f in schema.fields if f.name == name)
+        if old_type == new_type:
+            return meta["version"]  # idempotent
+        pair = (old_type.typeName(), new_type.typeName())
+        if pair not in self._TYPE_PROMOTIONS:
+            raise ValueError(
+                f"unsupported type change {pair[0]} -> {pair[1]}: only exact "
+                f"widenings are allowed"
+            )
+        fields = [
+            T.StructField(name, new_type, f.nullable) if f.name == name else f
+            for f in schema.fields
+        ]
+        aliases = self._stat_aliases(name, meta)
+        new_stats = {}
+        for p, st in meta.get("file_stats", {}).items():
+            st = {k: v for k, v in st.items() if k not in aliases}
+            if "__bloom__" in st:
+                st = {
+                    **st,
+                    "__bloom__": {
+                        k: v for k, v in st["__bloom__"].items() if k not in aliases
+                    },
+                }
+            new_stats[p] = st
+        new_meta = dict(meta)
+        new_meta.update(
+            version=meta["version"] + 1,
+            operation="alter_column_type",
+            timestamp=time.time(),
+            schema=T.StructType(fields).jsonValue(),
+            file_stats=new_stats,
         )
         self._commit(new_meta)
         return new_meta["version"]

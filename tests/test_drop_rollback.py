@@ -124,3 +124,48 @@ def test_rollback_to_expired_version_refuses(spark, tmpdir_path):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         t.rollback_to(v1)
+
+
+def test_alter_column_type_widening(spark, tmpdir_path):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        f"{tmpdir_path}/t", schema, ["url"], n_buckets=2, bloom_cols=["n"]
+    )
+    t.overwrite(
+        spark.createDataFrame([("a", 1), ("b", 2147483647)], "url string, n int")
+    )
+    t.alter_column_type("n", T.LongType())
+    df = t.read(spark)
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert {(r.url, r.n) for r in df.collect()} == {("a", 1), ("b", 2147483647)}
+    # old int-typed blooms were dropped (hash is type-sensitive): probes
+    # keep every file rather than risk a false negative
+    kept, skipped = t.prune_files_eq(spark, "n", 1)
+    assert not skipped
+    # post-widen writes exercise long values and re-record blooms
+    b = spark.createDataFrame(
+        [("c", 5_000_000_000, "u")], "url string, n long, __op string"
+    ).withColumn(SET_COLS_COL, F.lit(None).cast("array<string>"))
+    t.merge(spark, b, batch_id="b1")
+    assert {(r.url, r.n) for r in t.read(spark).collect()} == {
+        ("a", 1),
+        ("b", 2147483647),
+        ("c", 5_000_000_000),
+    }
+    got = {(r.url, r.n) for r in t.read_pruned_eq(spark, "n", 5_000_000_000).collect()}
+    assert got == {("c", 5_000_000_000)}
+
+
+def test_alter_column_type_refusals(spark, tmpdir_path):
+    t = SnapshotTable.create(f"{tmpdir_path}/t", SCHEMA, ["url"], n_buckets=2)
+    with pytest.raises(ValueError, match="key column"):
+        t.alter_column_type("url", T.BinaryType())
+    with pytest.raises(ValueError, match="widenings"):
+        t.alter_column_type("val", T.IntegerType())  # narrowing
+    v = t.current_version()
+    assert t.alter_column_type("val", T.LongType()) == v  # same type no-op
