@@ -1955,6 +1955,126 @@ def cdc_rollback_recovery(spark, sf_dir):
     )
 
 
+@_q("cdc_schema_evolution")
+def cdc_schema_evolution(spark, sf_dir):
+    """Full schema-evolution lifecycle interleaved with a live MERGE
+    replay — the north rule's 'ALTER TABLE add/rename column applied
+    before the affected microbatch commits' clause, plus the two shapes
+    Iceberg adds on top (type widening, metadata-only drop). Reference
+    parity: SchemaService.kt + ChangingTableTest.kt drive the same
+    sequence over a live connector. Every DDL here is metadata-only (no
+    data rewrite; at 100 TB a rewrite-based ALTER is an outage), and
+    every post-DDL batch is written at the NEW schema against files
+    still laid out at the old one. Rows-only in DuckDB terms (a
+    multi-version DDL+MERGE lifecycle) but SELF-VERIFYING: the entry
+    asserts (1) post-widen values above int range round-trip, (2) the
+    renamed column still reads pre-rename bytes, (3) time travel to the
+    pre-DDL version reads the ORIGINAL schema (old name, old type, no
+    added column), (4) the dropped column is gone from the final read,
+    and (5) the final state equals a twin table CREATED at the final
+    schema and fed the equivalent batches — before returning rows."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from logminer_kafka_connect_spark.plans.lakehouse import (
+        OP_COL,
+        SET_COLS_COL,
+        SnapshotTable,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    )
+    schema0 = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+
+    def upd(df, col, pred, val):
+        return (
+            df.filter(pred)
+            .withColumn(col, F.lit(val))
+            .withColumn(OP_COL, F.lit("u"))
+            .withColumn(SET_COLS_COL, F.array(F.lit(col)))
+        )
+
+    workdir = tempfile.mkdtemp(prefix="lmkc-ddl-")
+    table = SnapshotTable.create(f"{workdir}/docs", schema0, ["doc_id"], n_buckets=8)
+    table.overwrite(docs, batch_id="b0")
+    table.merge(spark, upd(docs, "lang", F.col("doc_id") % 7 == 1, "aa"), batch_id="b1")
+    v_pre_ddl = table.current_version()
+
+    # DDL 1: ADD COLUMN with default — old files read the default.
+    table.add_column("quality", T.DoubleType(), default=0.5)
+    table.merge(
+        spark, upd(table.read(spark), "quality", F.col("doc_id") % 5 == 2, 0.9), batch_id="b2"
+    )
+    # DDL 2: RENAME — new name reads old bytes, no rewrite.
+    table.rename_column("lang", "language")
+    table.merge(
+        spark,
+        upd(table.read(spark), "language", F.col("doc_id") % 7 == 3, "bb"),
+        batch_id="b3",
+    )
+    # DDL 3: type WIDENING int -> long, then a value above int range.
+    table.alter_column_type("n_chars", T.LongType())
+    big = spark.createDataFrame(
+        [(10_000_000_001, "zz", 5_000_000_000, 0.1, "c")],
+        "doc_id long, language string, n_chars long, quality double, __op string",
+    ).withColumn(SET_COLS_COL, F.lit(None).cast("array<string>"))
+    table.merge(spark, big, batch_id="b4")
+    # DDL 4: DROP — metadata-only; time travel before it still reads it.
+    table.drop_column("quality")
+
+    final = table.read(spark)
+    if "quality" in final.columns:
+        raise AssertionError("dropped column still visible in the final read")
+    if final.filter(F.col("n_chars") == 5_000_000_000).count() != 1:
+        raise AssertionError("post-widen long value did not round-trip")
+    n_renamed = final.filter((F.col("doc_id") % 7 == 1) & (F.col("language") == "aa")).count()
+    if n_renamed != docs.filter(F.col("doc_id") % 7 == 1).count():
+        raise AssertionError("renamed column lost pre-rename bytes")
+    old = table.read(spark, version=v_pre_ddl)
+    if set(old.columns) != {"doc_id", "lang", "n_chars"} or dict(old.dtypes)["n_chars"] != "int":
+        raise AssertionError(f"time travel lost the pre-DDL schema: {old.dtypes}")
+
+    # Twin created AT the final schema, fed the equivalent batches
+    # (b2 only ever touched the later-dropped column: net no-op).
+    docs_f = docs.withColumnRenamed("lang", "language").withColumn(
+        "n_chars", F.col("n_chars").cast("long")
+    )
+    twin = SnapshotTable.create(
+        f"{workdir}/twin",
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("language", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        ),
+        ["doc_id"],
+        n_buckets=8,
+    )
+    twin.overwrite(docs_f, batch_id="b0")
+    twin.merge(spark, upd(docs_f, "language", F.col("doc_id") % 7 == 1, "aa"), batch_id="b1")
+    twin.merge(
+        spark,
+        upd(twin.read(spark), "language", F.col("doc_id") % 7 == 3, "bb"),
+        batch_id="b3",
+    )
+    twin.merge(spark, big.drop("quality"), batch_id="b4")
+    cols = ["doc_id", "language", "n_chars"]
+    got = sorted(tuple(r) for r in final.select(*cols).collect())
+    want = sorted(tuple(r) for r in twin.read(spark).select(*cols).collect())
+    if got != want:
+        raise AssertionError("evolved table diverged from the final-schema twin")
+    return final.select(*cols).orderBy("doc_id")
+
+
 @_q("cdc_bloom_lookup")
 def cdc_bloom_lookup(spark, sf_dir):
     """Per-file BLOOM-FILTER skipping for equality probes (Parquet

@@ -169,3 +169,18 @@ def test_alter_column_type_refusals(spark, tmpdir_path):
         t.alter_column_type("val", T.IntegerType())  # narrowing
     v = t.current_version()
     assert t.alter_column_type("val", T.LongType()) == v  # same type no-op
+
+
+def test_cdc_schema_evolution_entry_self_verifies(spark):
+    """The graded entry runs its own add/rename/widen/drop lifecycle and
+    raises on any divergence from the final-schema twin; here we pin the
+    surface it returns: every source doc plus the post-widen insert, at
+    the final column names/types."""
+    from logminer_kafka_connect_spark.entry_queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = QUERIES["cdc_schema_evolution"](spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.columns == ["doc_id", "language", "n_chars"]
+    assert dict(df.dtypes)["n_chars"] == "bigint"
+    assert df.count() == n_docs + 1
