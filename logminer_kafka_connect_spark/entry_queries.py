@@ -2548,3 +2548,74 @@ def st_latest_per_key(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# 27. Streaming exactly-once dedup (dropDuplicatesWithinWatermark) — the
+#     redelivery guard for at-least-once transports (the reference's Kafka
+#     Connect frame redelivers on task restart). The stream input is the
+#     events table plus two deterministic redelivery waves shuffled into
+#     DIFFERENT triggers (cross-trigger state is what's under test); the
+#     deduped stream must aggregate exactly like the pristine table.
+# --------------------------------------------------------------------------
+@_q(
+    "st_exactly_once_dedup",
+    """
+    SELECT event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st_exactly_once_dedup(spark, sf_dir):
+    """Streaming dedup of redelivered events (streaming/stateful.py::
+    dedup_within_watermark): ~48% of events are redelivered (every 3rd
+    and every 7th id), the union is hash-shuffled across 8 one-file
+    triggers so most duplicate pairs straddle a trigger boundary, and the
+    first arrival of each event_id wins. The watermark delay is sized
+    past the data's event-time span here (dedup state must outlive the
+    whole replay for the oracle to be exact); production sizes it to the
+    transport's redelivery horizon so state stays O(keys per window).
+    SELF-VERIFYING: asserts redelivery was actually present in the input
+    and that the deduped stream carries no duplicate event_id — before
+    the oracle-checked aggregate is returned."""
+    import tempfile
+    import uuid
+
+    from logminer_kafka_connect_spark.streaming.stateful import dedup_within_watermark
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),  # NTZ parquet -> watermarkable LTZ
+        "user_id",
+        "event_type",
+        "value",
+    )
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0)).unionByName(
+        ev.filter(F.col("event_id") % 7 == 0)
+    )
+    src = tempfile.mkdtemp(prefix="lmkc-dedup-src-")
+    redelivered.repartition(8, F.col("event_id")).write.mode("overwrite").parquet(src)
+
+    n_total, n_distinct = redelivered.count(), ev.count()
+    if n_total <= n_distinct:
+        raise AssertionError("fixture broken: no redelivered events in the input")
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "365 days")
+    name = f"lmkc_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    if out.count() != n_distinct or out.select("event_id").distinct().count() != n_distinct:
+        raise AssertionError("deduped stream does not carry each event exactly once")
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
