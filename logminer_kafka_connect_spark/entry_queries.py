@@ -2619,3 +2619,64 @@ def st_exactly_once_dedup(spark, sf_dir):
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# 28. Corpus-wide boilerplate span detection + per-doc word entropy — the
+#     two C4/Gopher cleaning signals not yet covered: repeated-span
+#     discovery ACROSS documents (t23's repetition stats are within-doc)
+#     and the unigram-diversity spam signal.
+# --------------------------------------------------------------------------
+@_q(
+    "t30_boilerplate_ngrams",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i : i + 2], ' ') AS gram
+      FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
+    )
+    SELECT gram, count(*) AS n_docs, min(doc_id) AS example_doc
+    FROM grams
+    GROUP BY gram
+    HAVING count(*) >= greatest(
+      2, CAST(ceil(0.01 * (SELECT count(*) FROM documents)) AS BIGINT)
+    )
+    """,
+)
+def t30_boilerplate(spark, sf_dir):
+    """Word trigrams occurring in >=1% of documents (distinct-per-doc),
+    i.e. the C4 repeated-span/boilerplate rule at corpus level. One
+    narrow shingle projection + one map-side-combined count shuffle; the
+    threshold is a scalar aggregate (textops/quality.py::
+    boilerplate_ngrams)."""
+    return Q.boilerplate_ngrams(t(spark, sf_dir, "documents"), k=3, min_doc_frac=0.01)
+
+
+@_q(
+    "t31_word_entropy",
+    """
+    WITH counts AS (
+      SELECT doc_id, w AS word, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+      )
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                             AS n_words,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def t31_word_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy via the H = log2(n) - sum(c*log2 c)/n
+    identity — two doc-keyed shuffles, no window over totals, no Python
+    (textops/quality.py::word_entropy)."""
+    return Q.word_entropy(t(spark, sf_dir, "documents"))

@@ -270,3 +270,60 @@ def curate_corpus(
         .drop("__th", "__keeper")
     )
     return assign_split(deduped, weights=weights, key_col=id_col)
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_doc_frac: float = 0.01,
+) -> DataFrame:
+    """Corpus-wide boilerplate span detection (the C4 'repeated spans'
+    cleaning rule, word-gram form): a word k-gram occurring in at least
+    ``ceil(min_doc_frac * n_docs)`` DISTINCT documents is boilerplate
+    (navigation chrome, cookie banners, license footers). Returns
+    (gram, n_docs, example_doc) for the downstream strip/score pass.
+
+    100 TB shape: shingles are distinct-per-doc arrays built by one
+    narrow projection (``shingles_expr``), so the single shuffle is the
+    (gram) count agg with map-side partials; the doc-count threshold is
+    one scalar aggregate. No joins, no Python. Docs shorter than k words
+    carry no k-gram and are excluded on both engines."""
+    n_docs = df.count()  # bounded scalar aggregate (threshold input)
+    import math
+
+    min_docs = max(2, math.ceil(min_doc_frac * n_docs))
+    w = words_expr(text_col)
+    grams = df.filter(F.size(w) >= k).select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def word_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in bits — the
+    low-diversity/spam signal complementing the Gopher repetition stats:
+    H = log2(n) - sum(c * log2(c)) / n over per-word counts c. Computed
+    with that identity so ONE (doc, word) count agg plus ONE per-doc agg
+    suffice (no window over totals); both shuffles are keyed on the doc
+    id, and AQE coalesces them at scale. Rounded to 4 decimals on both
+    engines to absorb float summation order."""
+    counts = (
+        df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    s = F.sum(F.col("c") * F.log2("c"))
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_words"),
+        F.round(F.log2(n) - s / n, 4).alias("entropy"),
+    )

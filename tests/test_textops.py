@@ -525,3 +525,37 @@ def test_wav_decoder_end_to_end_through_media_slot(spark, docs):
     assert out[some_id]["duration_s"] == round(len(samples) / rate, 6)
     assert len(out[some_id]["feature"]) == 16
     assert all(r["media_meta"]["media_type"] == "audio/wav" for r in rows.values())
+
+
+def test_word_entropy_known_values(spark):
+    from logminer_kafka_connect_spark.operators.textops.quality import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one symbol: H = 0
+            (2, "a b a b"),          # two equiprobable: H = 1
+            (3, "a b c d"),          # four equiprobable: H = 2
+            (4, "a a b b c c d d"),  # same distribution, doubled: H = 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.entropy) for r in word_entropy(df).collect()}
+    assert got == {1: (4, 0.0), 2: (4, 1.0), 3: (4, 2.0), 4: (8, 2.0)}
+
+
+def test_boilerplate_ngrams_threshold_and_distinctness(spark):
+    from logminer_kafka_connect_spark.operators.textops.quality import boilerplate_ngrams
+
+    rows = [(i, "cookie banner text unique%d words" % i) for i in range(10)]
+    rows.append((10, "cookie banner text cookie banner text"))  # repeat inside ONE doc
+    rows.append((11, "too short"))  # < k words: no grams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.gram: (r.n_docs, r.example_doc) for r in boilerplate_ngrams(df, k=3, min_doc_frac=0.5).collect()}
+    # 'cookie banner text' appears in 11 docs; the within-doc repeat must
+    # NOT double-count doc 10 (distinct-per-doc semantics)
+    assert got == {"cookie banner text": (11, 0)}
+    # at a permissive threshold the shared grams qualify but the
+    # per-doc-unique grams ('text unique7 words', ...) still never do
+    low = {r.gram for r in boilerplate_ngrams(df, k=3, min_doc_frac=0.05).collect()}
+    assert "cookie banner text" in low
+    assert not any("unique" in g for g in low)
