@@ -2680,3 +2680,84 @@ def t31_word_entropy(spark, sf_dir):
     identity — two doc-keyed shuffles, no window over totals, no Python
     (textops/quality.py::word_entropy)."""
     return Q.word_entropy(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 29. Write-audit-publish (Iceberg branch refs / fast-forward publish) —
+#     the audit gate a production CDC pipeline puts in front of its
+#     exactly-once MERGE: stage on a branch, audit the staged state,
+#     publish atomically or drop without the main table ever seeing it.
+# --------------------------------------------------------------------------
+@_q("cdc_wap_publish")
+def cdc_wap_publish(spark, sf_dir):
+    """WAP lifecycle on the lake table (plans/lakehouse.py::
+    create_branch/publish_branch/drop_branch): a poisoned batch is staged
+    on a branch, the audit query catches it, the branch is dropped — main
+    never advances; the corrected batch stages on a fresh branch, passes
+    audit, and fast-forward-publishes as ONE metadata commit (zero data
+    movement: the fork is a manifest copy, the publish a pointer-version
+    swing; staged files are written once). Rows-only in DuckDB terms (a
+    multi-table branch lifecycle) but SELF-VERIFYING: asserts staging
+    is invisible to main (version AND state), the failed audit leaves
+    main untouched, the published state equals a twin that applied the
+    corrected batch directly, and the exactly-once ledger crossed the
+    publish (the batch id cannot re-apply on main) — before returning."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.plans.lakehouse import (
+        OP_COL,
+        SET_COLS_COL,
+        SnapshotTable,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def upd(lang):
+        return (
+            docs.filter(F.col("doc_id") % 10 == 7)
+            .withColumn("lang", F.lit(lang))
+            .withColumn(OP_COL, F.lit("u"))
+            .withColumn(SET_COLS_COL, F.array(F.lit("lang")))
+        )
+
+    workdir = tempfile.mkdtemp(prefix="lmkc-wap-")
+    table = SnapshotTable.create(f"{workdir}/docs", docs.schema, ["doc_id"], n_buckets=8)
+    table.overwrite(docs, batch_id="b0")
+    twin = SnapshotTable.create(f"{workdir}/twin", docs.schema, ["doc_id"], n_buckets=8)
+    twin.overwrite(docs, batch_id="b0")
+    v0 = table.current_version()
+
+    # stage a poisoned batch; the audit catches it; drop — main untouched
+    br = table.create_branch("audit")
+    br.merge(spark, upd("POISON"), batch_id="b1")
+    if br.read(spark).filter(F.col("lang") == "POISON").count() == 0:
+        raise AssertionError("fixture broken: poison batch did not stage")
+    if table.current_version() != v0:
+        raise AssertionError("staging advanced the main table")
+    if table.read(spark).filter(F.col("lang") == "POISON").count() != 0:
+        raise AssertionError("staged poison leaked into a main read")
+    table.drop_branch("audit")
+
+    # corrected batch: stage, audit passes, fast-forward publish
+    br = table.create_branch("audit")
+    br.merge(spark, upd("bb"), batch_id="b1")
+    if br.read(spark).filter(F.col("lang") == "POISON").count() != 0:
+        raise AssertionError("audit failed on the corrected batch")
+    table.publish_branch("audit")
+    table.drop_branch("audit")
+    if not table.is_applied("b1"):
+        raise AssertionError("exactly-once ledger did not cross the publish")
+    if table.merge(spark, upd("POISON"), batch_id="b1").applied:
+        raise AssertionError("published batch id re-applied on main")
+
+    twin.merge(spark, upd("bb"), batch_id="b1")
+    got = sorted((r.doc_id, r.lang) for r in table.read(spark).select("doc_id", "lang").collect())
+    want = sorted((r.doc_id, r.lang) for r in twin.read(spark).select("doc_id", "lang").collect())
+    if got != want:
+        raise AssertionError("published state diverged from the direct-apply twin")
+    return (
+        table.read(spark)
+        .filter(F.col("lang") == "bb")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1687,6 +1687,121 @@ class SnapshotTable:
         self._commit(new_meta)
         return new_meta["version"]
 
+    # ------------------------------------------------- branches (WAP)
+    #: branch names: path-safe, no separators/dots
+    _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9_-]{1,64}$")
+
+    def _branch_path(self, name: str) -> str:
+        if not self._BRANCH_NAME_RE.match(name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        return os.path.join(self.path, "branches", name)
+
+    def create_branch(self, name: str) -> "SnapshotTable":
+        """Fork a write-audit-publish (WAP) staging branch (Iceberg
+        branch refs, `spark.wap.branch`): a child table under
+        ``<table>/branches/<name>`` whose v0 manifest is a COPY of this
+        table's current manifest — zero data movement; the fork
+        references the parent's data files by path (immutable commit
+        dirs make that safe). Staged batches then run the ordinary MERGE
+        machinery against the branch — same exactly-once ledger, which
+        EXTENDS the parent's at fork so a publish carries idempotence
+        across. The parent is never touched until ``publish_branch``;
+        audits read the branch; a failed audit drops the branch and the
+        parent never saw the batch. Branch-of-branch is refused (keeps
+        file ownership two-level: parent owns its tree incl. published
+        branch data, a branch owns only its own subtree — the expiry
+        ownership guard depends on this)."""
+        meta = self.metadata()
+        if meta.get("branch_of"):
+            raise ValueError("cannot branch a branch (fork from the main table)")
+        bpath = self._branch_path(name)
+        branch = SnapshotTable(bpath, fs=self.fs)
+        if branch.exists():
+            raise ValueError(f"branch already exists: {name}")
+        self.fs.makedirs(branch._meta_dir)
+        self.fs.makedirs(branch._data_dir)
+        b0 = dict(meta)
+        b0.pop("published_from", None)
+        b0.update(
+            version=0,
+            operation="branch",
+            timestamp=time.time(),
+            branch_of=self.path,
+            fork_version=meta["version"],
+        )
+        branch._commit(b0)
+        return branch
+
+    def branch(self, name: str) -> "SnapshotTable":
+        branch = SnapshotTable(self._branch_path(name), fs=self.fs)
+        if not branch.exists():
+            raise ValueError(f"no such branch: {name}")
+        return branch
+
+    @_with_writer_lock
+    def publish_branch(self, name: str) -> int:
+        """Atomically publish a staged branch to the main table — the
+        FAST-FORWARD commit of WAP: the branch's current manifest becomes
+        the main table's next version (one metadata write; the staged
+        data files are already on disk and simply become main-referenced;
+        the branch's applied-batch ledger — a superset of main's at fork
+        — rides along, so a batch staged-and-published can never re-apply
+        on main). Refused unless main still sits at the branch's fork
+        version: if main advanced, the branch no longer contains those
+        commits and publishing would silently drop them — re-stage on a
+        fresh branch instead (Iceberg's fast-forward has the same rule)."""
+        branch = self.branch(name)
+        bmeta = branch.metadata()
+        meta = self.metadata()
+        if bmeta.get("branch_of") != self.path:
+            raise ValueError(f"{name!r} is not a branch of this table")
+        if meta["version"] != bmeta.get("fork_version"):
+            raise ConcurrentWriterError(
+                f"cannot fast-forward branch {name!r}: main advanced from "
+                f"v{bmeta.get('fork_version')} to v{meta['version']} since the "
+                f"fork — re-stage on a fresh branch"
+            )
+        new_meta = dict(bmeta)
+        new_meta.pop("branch_of", None)
+        new_meta.pop("fork_version", None)
+        new_meta.update(
+            version=meta["version"] + 1,
+            operation="publish",
+            timestamp=time.time(),
+            published_from=self._branch_path(name),
+        )
+        self._commit(new_meta)
+        return new_meta["version"]
+
+    def drop_branch(self, name: str) -> dict[str, Any]:
+        """Remove a branch. An unpublished branch (failed audit) is
+        deleted whole — its fork manifest only references PARENT files,
+        and its own staged commit dirs are main-unreachable by
+        construction. A published branch keeps its data subtree (those
+        files are now referenced by main manifests; ownership transferred
+        to the parent, whose expire_snapshots reclaims them when they age
+        out of the retained window) and loses only its metadata."""
+        bpath = self._branch_path(name)
+        if not SnapshotTable(bpath, fs=self.fs).exists():
+            raise ValueError(f"no such branch: {name}")
+        published = False
+        for fname in self.fs.listdir(self._meta_dir):
+            mm = _VERSION_RE.match(fname)
+            if not mm:
+                continue
+            try:
+                m = self.metadata(int(mm.group(1)))
+            except Exception:
+                continue
+            if m.get("published_from") == bpath:
+                published = True
+                break
+        if published:
+            self.fs.delete(os.path.join(bpath, "metadata"))
+        else:
+            self.fs.delete(bpath)
+        return {"branch": name, "published": published, "data_retained": published}
+
     @_with_writer_lock
     def rebucket(self, spark: SparkSession, n_buckets: int) -> dict[str, Any]:
         """Bucket-spec evolution — the Iceberg partition-spec-evolution
@@ -1806,7 +1921,17 @@ class SnapshotTable:
                 expired_paths |= _all_data_paths(m)
         n_dirs = 0
         parents: set[str] = set()
+        own_tree = os.path.normpath(self.path) + os.sep
         for p in expired_paths - live_paths:
+            # ownership guard: never delete files outside this table's
+            # tree. A BRANCH's fork manifest references the parent's data
+            # dirs; when that manifest expires, those files look
+            # expired-and-unreferenced *to the branch* while the parent
+            # still depends on them. A branch owns only its own subtree;
+            # the parent (whose tree contains published branch data) owns
+            # everything under its path.
+            if not os.path.normpath(p).startswith(own_tree):
+                continue
             if self.fs.exists(p):
                 self.fs.delete(p)
                 n_dirs += 1
