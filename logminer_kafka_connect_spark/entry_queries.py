@@ -2761,3 +2761,39 @@ def cdc_wap_publish(spark, sf_dir):
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# 30. Deterministic weighted sampling (Efraimidis-Spirakis) — the missing
+#     member of the t24/t25 reproducible-sampling family: importance-
+#     weighted selection (longer docs drawn proportionally more often)
+#     with zero RNG state, bit-reproducible on any engine or layout.
+# --------------------------------------------------------------------------
+@_q(
+    "t32_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((('0x' || substr(md5(cast(doc_id AS varchar) || ':wsample'), 1, 8))::bigint
+                 + 1.0) / 4294967296.0) / n_chars AS wkey
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn
+      FROM keyed
+    )
+    WHERE rn <= 20
+    """,
+)
+def t32_weighted_sample(spark, sf_dir):
+    """Top-20 per language by ln(u)/w key, u = salted md5 uniform,
+    w = n_chars (textops/sampling.py::weighted_sample_per_stratum) — one
+    stratum-keyed window shuffle, identical arithmetic on both engines."""
+    return SA.weighted_sample_per_stratum(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        n=20,
+        weight_col="n_chars",
+    )

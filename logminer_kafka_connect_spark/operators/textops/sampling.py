@@ -148,3 +148,41 @@ def repetition_stats(
         )
         base = base.join(frac, id_col)
     return base
+
+
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): each row draws key = ln(u)/w from a salted-hash
+    uniform u and its weight w; the n LARGEST keys per stratum are an
+    exact weighted sample (u^(1/w) order, taken in log space). Unlike a
+    weighted ``df.sample`` there is no RNG state: the same (key, salt)
+    draws the same u on any engine, cluster size, or partition layout,
+    and adding rows never flips earlier draws — the reproducibility
+    contract corpus curation needs. Rows with non-positive weight are
+    excluded (the estimator is undefined there).
+
+    100 TB shape: one window shuffle keyed on the stratum; at extreme
+    per-stratum cardinality swap the window for a size-n per-partition
+    heap (``mapInPandas``) + merge, same keys."""
+    from pyspark.sql.window import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    h = _hash_u32(F.col(key_col), salt)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_HASH_SPACE))
+    wkey = F.log(u) / F.col(weight_col).cast("double")
+    win = Window.partitionBy(strata_col).orderBy(F.col("_wkey").desc(), F.col(key_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", wkey)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= n)
+        .drop("_wkey", "_rn")
+    )

@@ -124,3 +124,31 @@ def test_new_entries_match_duckdb_oracle(spark):
         exp = sorted(map(tuple, con.execute(ORACLES[name]).fetchall()))
         assert got == exp, name
         assert len(got) > 0, name
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    from logminer_kafka_connect_spark.operators.textops.sampling import (
+        weighted_sample_per_stratum,
+    )
+
+    rows = [(i, "en", 1 if i < 900 else 1000) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    pick = lambda: sorted(
+        r.doc_id for r in weighted_sample_per_stratum(df, 50, "w").collect()
+    )
+    a = pick()
+    assert a == pick()  # no RNG state: identical across runs
+    # 100 heavy rows at 1000x weight should dominate a 50-draw sample
+    heavy = sum(1 for d in a if d >= 900)
+    assert heavy >= 40
+    # partition-layout independence
+    b = sorted(
+        r.doc_id
+        for r in weighted_sample_per_stratum(df.repartition(17), 50, "w").collect()
+    )
+    assert a == b
+    # zero/negative weights are excluded, never sampled
+    df2 = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", -5), (3, "en", 7)], "doc_id long, lang string, w long"
+    )
+    assert [r.doc_id for r in weighted_sample_per_stratum(df2, 10, "w").collect()] == [3]
