@@ -2797,3 +2797,50 @@ def t32_weighted_sample(spark, sf_dir):
         n=20,
         weight_col="n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# 31. Product quantization ANN (Jégou et al.) — the memory-bound scale
+#     path next to IVF (compute-bound probing) and LSH (bucket-bound):
+#     the ranking scan touches int[m] codes (32x smaller than float[d]),
+#     scoring is m table lookups per vector (ADC), and only a per-
+#     partition shortlist is ever shuffled; exact cosine re-ranks it.
+# --------------------------------------------------------------------------
+def _pq_parts(spark, sf_dir, m=16, n_centroids=16):
+    """Shared train+encode for the PQ entries: deterministic driver-side
+    sample (every vector at this scale; 1e5-1e6 sampled ids at 100 TB),
+    codebooks in the UDF closure, codes as a narrow Arrow pass."""
+    import numpy as np
+
+    emb = t(spark, sf_dir, "embeddings")
+    sample = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.orderBy("vec_id").limit(2048).collect()]
+    )
+    books = S.pq_train(sample, m=m, n_centroids=n_centroids, iters=10)
+    codes = S.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 10)
+    return emb, q, books, codes
+
+
+@_q("n21_pq_topk")
+def n21_pq_topk(spark, sf_dir):
+    """PQ/ADC top-k with exact re-rank (similarity.py::pq_train/
+    pq_encode/pq_topk). Rows-only (seeded numpy k-means codebooks are
+    not SQL-expressible) but SELF-VERIFYING: asserts the codes really
+    are m=16 4-bit ids (float[64] -> 8 packed bytes, 32x), and that recall@3 vs
+    the exact cosine_topk answer over the 10 probe queries is >= 0.8
+    (the re-ranked shortlist bar; the raw-ADC floor is pinned in
+    tests/test_textops.py) — before returning rows."""
+    emb, q, books, codes = _pq_parts(spark, sf_dir)
+    first = codes.select("codes").first()["codes"]
+    if len(first) != 16 or any(c < 0 or c >= 16 for c in first):
+        raise AssertionError("PQ codes are not 16 small centroid ids")
+    approx = S.pq_topk(codes, emb, q, books, k=3, shortlist=64)
+    exact = S.cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    n_hit = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    if n_exact == 0 or n_hit / n_exact < 0.8:
+        raise AssertionError(f"PQ recall@3 too low: {n_hit}/{n_exact}")
+    return approx

@@ -559,3 +559,76 @@ def test_boilerplate_ngrams_threshold_and_distinctness(spark):
     low = {r.gram for r in boilerplate_ngrams(df, k=3, min_doc_frac=0.05).collect()}
     assert "cookie banner text" in low
     assert not any("unique" in g for g in low)
+
+
+def _pq_fixture(spark):
+    import numpy as np
+
+    from logminer_kafka_connect_spark.operators.textops import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sample = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.orderBy("vec_id").limit(2048).collect()]
+    )
+    books = S.pq_train(sample, m=16, n_centroids=16, iters=10)
+    return emb, sample, books, S
+
+
+def test_pq_train_deterministic_and_reduces_distortion(spark):
+    import numpy as np
+
+    emb, sample, books, S = _pq_fixture(spark)
+    assert books.shape == (16, 16, 4)
+    books2 = S.pq_train(sample, m=16, n_centroids=16, iters=10)
+    assert np.array_equal(books, books2)
+    # Lloyd iterations must beat the raw init (first-k rows, iters=0 analog)
+    def distortion(b):
+        X = sample / np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12, None)
+        tot = 0.0
+        for j in range(16):
+            sub = X[:, j * 4 : (j + 1) * 4]
+            d2 = ((sub[:, None, :] - b[j][None, :, :]) ** 2).sum(-1)
+            tot += d2.min(1).sum()
+        return tot
+
+    init = S.pq_train(sample, m=16, n_centroids=16, iters=1)
+    assert distortion(books) <= distortion(init)
+
+
+def test_pq_encode_scale_invariant_and_layout_independent(spark):
+    from pyspark.sql import functions as F
+
+    emb, sample, books, S = _pq_fixture(spark)
+    codes = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, books).collect()}
+    assert all(len(c) == 16 and all(0 <= x < 16 for x in c) for c in codes.values())
+    # L2 normalization inside encode: scaling a vector never changes its code
+    scaled = emb.withColumn("embedding", F.transform("embedding", lambda x: x * 7.5))
+    codes_scaled = {r.vec_id: list(r.codes) for r in S.pq_encode(scaled, books).collect()}
+    assert codes == codes_scaled
+    codes_rep = {
+        r.vec_id: list(r.codes) for r in S.pq_encode(emb.repartition(13), books).collect()
+    }
+    assert codes == codes_rep
+
+
+def test_pq_topk_recall_floor_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    emb, sample, books, S = _pq_fixture(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    codes = S.pq_encode(emb, books)
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=3).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(codes, emb, q, books, k=3, shortlist=64).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.8
+    # the per-partition shortlist must not change the answer with many
+    # (including empty) partitions, nor with shortlist > corpus
+    got50 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(codes.repartition(50), emb, q, books, k=3, shortlist=64).collect()
+    }
+    assert got50 == got
+    big = S.pq_topk(codes, emb, q, books, k=3, shortlist=10_000)
+    assert big.count() == 30
