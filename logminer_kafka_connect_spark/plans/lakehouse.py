@@ -680,6 +680,75 @@ class SnapshotTable:
     def read_buckets(self, spark: SparkSession, buckets: list[int], version: int | None = None) -> DataFrame:
         return self._read_buckets_of(spark, self.metadata(version), buckets)
 
+    def version_asof(self, timestamp: float) -> int:
+        """Resolve ``FOR TIMESTAMP AS OF``: the newest version committed at
+        or before ``timestamp`` (epoch seconds) — Iceberg's
+        snapshot-for-timestamp rule. Walks the retained manifests only;
+        refuses timestamps older than the retained window (the snapshot is
+        expired) or before the table existed."""
+        best = None
+        for name in self.fs.listdir(self._meta_dir):
+            mm = _VERSION_RE.match(name)
+            if not mm:
+                continue
+            v = int(mm.group(1))
+            try:
+                ts = self.metadata(v)["timestamp"]
+            except Exception:
+                continue
+            if ts <= timestamp and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before {timestamp} (expired or pre-create)"
+            )
+        return best
+
+    def read_asof(self, spark: SparkSession, timestamp: float) -> DataFrame:
+        """Timestamp-based time travel (``SELECT ... FOR TIMESTAMP AS OF``):
+        ``read`` at ``version_asof(timestamp)``."""
+        return self.read(spark, version=self.version_asof(timestamp))
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The ``table.history`` metadata relation (Iceberg metadata-table
+        parity): one row per RETAINED version — (version, timestamp,
+        operation, batch_id, summary_json — summaries are per-operation
+        shaped, so they surface as JSON). Driver-built from manifests
+        (bounded by the expiry window), so it costs no data-file IO."""
+        rows = [
+            (
+                h["version"],
+                float(h["timestamp"]),
+                h.get("operation"),
+                h.get("batch_id"),
+                json.dumps(h.get("summary") or {}),
+            )
+            for h in self.snapshot_history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, committed_at double, operation string, "
+            "batch_id string, summary_json string",
+        )
+
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The ``table.files`` metadata relation: one row per live data
+        dir of a version — (bucket, path, kind, seq) where kind is
+        'base' or 'delta' (merge-on-read). Stats columns are surfaced as
+        a JSON string (shape varies per table's stats_cols). Driver-built
+        from the manifest; no data-file IO."""
+        meta = self.metadata(version)
+        rows = []
+        for b, paths in meta["buckets"].items():
+            for p in paths:
+                rows.append((int(b), p, "base", 0, json.dumps(meta.get("file_stats", {}).get(p))))
+        for b, paths in meta.get("deltas", {}).items():
+            for p in paths:
+                rows.append((int(b), p, "delta", int(meta.get("delta_seq", {}).get(p, 0)), None))
+        return spark.createDataFrame(
+            rows, "bucket int, path string, kind string, seq long, stats_json string"
+        )
+
     def read_for_keys(
         self, spark: SparkSession, key_values: list, version: int | None = None
     ) -> DataFrame:

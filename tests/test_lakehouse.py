@@ -1,5 +1,6 @@
 """SnapshotTable: atomic commits, merge semantics, time travel, evolution."""
 
+import pytest
 import os
 
 from pyspark.sql import Row
@@ -334,3 +335,46 @@ def test_writer_lock_blocks_concurrent_maintenance(spark, tmpdir_path):
     assert t.read(spark).count() == 2
     # lock released after the stolen write completed
     assert not t.fs.exists(t._lock_path())
+
+
+def test_read_asof_timestamp_and_metadata_tables(spark, tmpdir_path):
+    import json
+    import time as _time
+
+    from logminer_kafka_connect_spark.plans.lakehouse import (
+        OP_COL,
+        SET_COLS_COL,
+        SnapshotTable,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("val", T.LongType())]
+    )
+    t = SnapshotTable.create(
+        f"{tmpdir_path}/asof", schema, ["url"], n_buckets=2, stats_cols=["val"]
+    )
+    t.overwrite(spark.createDataFrame([("a", 1)], "url string, val long"), batch_id="b0")
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    b = (
+        spark.createDataFrame([("a", 2)], "url string, val long")
+        .withColumn(OP_COL, F.lit("u"))
+        .withColumn(SET_COLS_COL, F.lit(None).cast("array<string>"))
+    )
+    t.merge(spark, b, batch_id="b1")
+    # as-of between the two commits reads the first state
+    assert t.read_asof(spark, t_mid).collect()[0].val == 1
+    assert t.read_asof(spark, _time.time()).collect()[0].val == 2
+    assert t.version_asof(t_mid) < t.version_asof(_time.time())
+    with pytest.raises(ValueError, match="expired or pre-create"):
+        t.version_asof(t_mid - 1e6)
+
+    hist = t.history_df(spark).orderBy("version").collect()
+    assert [h.operation for h in hist] == ["create", "overwrite", "merge"]
+    assert hist[-1].batch_id == "b1"
+    assert json.loads(hist[-1].summary_json)["source_rows"] == 1
+    files = t.files_df(spark).collect()
+    assert all(f.kind == "base" for f in files)
+    st = json.loads([f for f in files if f.stats_json][0].stats_json)
+    assert "val" in st
