@@ -2844,3 +2844,70 @@ def n21_pq_topk(spark, sf_dir):
     if n_exact == 0 or n_hit / n_exact < 0.8:
         raise AssertionError(f"PQ recall@3 too low: {n_hit}/{n_exact}")
     return approx
+
+
+# --------------------------------------------------------------------------
+# 32. Ordered funnel (view -> click -> purchase) — the web-analytics shape
+#     missing from the aggregation family: each step counts users whose
+#     FIRST qualifying event strictly follows the previous step's time
+#     (not merely "did both"), i.e. sequential first-occurrence semantics.
+# --------------------------------------------------------------------------
+@_q(
+    "a13_funnel_steps",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+    UNION ALL SELECT 'step2_click', count(*) FROM c
+    UNION ALL SELECT 'step3_purchase', count(*) FROM p
+    """,
+)
+def a13_funnel(spark, sf_dir):
+    """Sequential funnel in ONE user-keyed shuffle: three stacked
+    unordered windows over user_id compute t1 = first view, t2 = first
+    click AFTER t1, t3 = first purchase AFTER t2 (each window is a
+    whole-partition min, no sort), then one distinct + unpivot counts
+    the survivors per step. The oracle spells the same semantics as
+    three chained min-joins; the Spark plan replaces those joins with
+    window re-use of a single Exchange — the 100 TB shape (events tables
+    are huge, users are the natural partition key)."""
+    w = Window.partitionBy("user_id")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    ev = ev.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    ev = ev.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+            )
+        ).over(w),
+    )
+    users = ev.select("user_id", "t1", "t2", "t3").distinct()
+    agg = users.agg(
+        F.count("t1").alias("step1_view"),
+        F.count("t2").alias("step2_click"),
+        F.count("t3").alias("step3_purchase"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'step1_view', step1_view, 'step2_click', step2_click, "
+            "'step3_purchase', step3_purchase)"
+        ).alias("step", "n_users")
+    ).select("step", F.col("n_users").cast("long").alias("n_users"))

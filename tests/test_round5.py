@@ -695,3 +695,36 @@ def test_canonicalize_url_rules(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_funnel_strict_ordering_semantics(spark, tmp_path):
+    """a13: a step counts only users whose first qualifying event strictly
+    FOLLOWS the previous step's time — purchase-before-click users fall
+    out at step 3, click-before-view users at step 2."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, typ, minutes):
+        rows.append((u, typ, t0 + dt.timedelta(minutes=minutes)))
+
+    ev(1, "view", 0); ev(1, "click", 1); ev(1, "purchase", 2)   # full funnel
+    ev(2, "view", 0); ev(2, "click", 1)                          # stops at 2
+    ev(3, "click", 0); ev(3, "view", 1)                          # click BEFORE view
+    ev(3, "click", 2)                                            # ...but clicks again after
+    ev(4, "purchase", 0); ev(4, "view", 1); ev(4, "click", 2)    # purchase too early
+    ev(5, "view", 0)                                             # view only
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    p = f"{tmp_path}/events.parquet"
+    df.write.parquet(p)
+
+    from logminer_kafka_connect_spark.entry_queries import QUERIES
+
+    got = {
+        r.step: r.n_users
+        for r in QUERIES["a13_funnel_steps"](spark, str(tmp_path)).collect()
+    }
+    # step1: users 1,2,3,4,5; step2: 1,2,3 (user 3's SECOND click follows
+    # its first view), 4; step3: only 1 (user 4 purchased before clicking)
+    assert got == {"step1_view": 5, "step2_click": 4, "step3_purchase": 1}
