@@ -49,6 +49,11 @@ SHOW = [
     "d23_incremental_dedup",
     "j15_range_join",     # grid-cell equi-join, NOT BroadcastNestedLoop
     "n20_kmeans_step",    # broadcast assignment + (cluster, dim) partial agg
+    # round-5 session-4 additions
+    "a13_funnel_steps",   # 3-step funnel, ONE user_id Exchange (stacked windows)
+    "t30_boilerplate_ngrams",  # shingle explode + single count shuffle
+    "t31_word_entropy",   # two doc-keyed partial-agg shuffles, no window
+    "t32_weighted_sample",  # ES weighted sample: stratum window, hash uniforms
 ]
 
 
