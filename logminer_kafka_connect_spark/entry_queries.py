@@ -2911,3 +2911,63 @@ def a13_funnel(spark, sf_dir):
             "'step3_purchase', step3_purchase)"
         ).alias("step", "n_users")
     ).select("step", F.col("n_users").cast("long").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# 33. PageRank (power iteration) — the crawl-prioritization signal over a
+#     link graph: a deterministic synthetic web graph derived from doc ids
+#     (one permutation rule so EVERY node has in/out edges + hub links so
+#     the distribution is genuinely skewed), 8 iterations, verified value-
+#     exact against a DuckDB RECURSIVE-CTE power iteration.
+# --------------------------------------------------------------------------
+_PR_ITERS = 8
+
+
+@_q(
+    "g01_pagerank",
+    f"""
+    WITH RECURSIVE
+    nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id % 10 FROM documents
+      ) WHERE src != dst
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    pr AS (
+      SELECT 0 AS it, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+      UNION ALL
+      SELECT p.it + 1, e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(p.rank / d.out_deg) AS rank
+      FROM pr p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = p.node
+      WHERE p.it < {_PR_ITERS}
+      GROUP BY p.it, e.dst
+    )
+    SELECT node, round(rank, 6) AS rank FROM pr WHERE it = {_PR_ITERS}
+    """,
+)
+def g01_pagerank(spark, sf_dir):
+    """8 power iterations of textops/cluster.py::pagerank over the
+    synthetic doc-id link graph (hub nodes 0-9 absorb ~10% of all links
+    each round — the skew is the point). Hot loop: one src equi-join +
+    one dst partial-agg shuffle per iteration, lineage truncated per
+    round; dangling-mass redistribution is exercised separately in
+    tests (this graph has none, which is what makes the recursive-CTE
+    oracle exact)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    edges = (
+        docs.select(i.alias("src"), F.explode(
+            F.array((i + 1) % n, (i * 7 + 3) % n, i % 10)
+        ).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = CL.pagerank(edges, damping=0.85, n_iters=_PR_ITERS)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

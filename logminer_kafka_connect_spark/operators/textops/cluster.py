@@ -182,3 +182,70 @@ def keep_canonical(
         docs.select(id_col), pairs, id_col, src, dst, driver_limit=driver_limit
     ).filter("is_canonical")
     return docs.join(reps.select(id_col), id_col, "left_semi")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank power iteration over a directed link graph — the crawl-
+    prioritization signal of a web corpus (Brin & Page; re-expressed as a
+    relational plan). Returns (node, rank) with sum(rank) == 1.
+
+    Per iteration: contributions = ranks ⋈ edges on src (out-degree
+    pre-computed ONCE and cached in the ranks relation, so the hot loop
+    is one equi-join + one groupBy(dst) sum — two shuffles, both keyed
+    on a node id, both map-side partial-aggregated); dangling mass
+    (nodes with no out-links) is one scalar aggregate redistributed
+    uniformly, so ranks stay a probability distribution. Lineage is
+    truncated every round (``localCheckpoint``) like the CC loop — the
+    iterated-plan blowup, not the data, is what kills iterative jobs.
+    At 100 TB the edge relation would be pre-partitioned by src so the
+    per-round join never reshuffles the big side."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = edges.groupBy(F.col(src_col).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = (
+        nodes.join(deg, "node", "left")
+        .select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"))
+    for _ in range(n_iters):
+        dangling = (
+            ranks.filter(F.col("out_deg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ranks.filter(F.col("out_deg").isNotNull())
+            .join(e, "node")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            ranks.select("node", "out_deg")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

@@ -133,3 +133,37 @@ def test_d20_matches_duckdb_oracle(spark):
     got_set = {(r["doc_id"], r["cluster_id"], r["is_canonical"]) for r in got}
     assert got_set == set(map(tuple, exp))
     assert len(got) == len(exp)
+
+
+def test_pagerank_dangling_mass_and_distribution(spark):
+    """Dangling nodes redistribute their rank uniformly: ranks stay a
+    probability distribution, and a pure sink still accumulates rank.
+    Cross-checked against a numpy power iteration of the same graph."""
+    import numpy as np
+
+    from logminer_kafka_connect_spark.operators.textops.cluster import pagerank
+
+    # 0->1, 1->2, 2 is a SINK (dangling), 3->0 keeps 0 reachable
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 0), (0, 2)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, n_iters=12).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    n, d = 4, 0.85
+    A = np.zeros((n, n))
+    for s, t_ in [(0, 1), (1, 2), (3, 0), (0, 2)]:
+        A[s, t_] = 1.0
+    out = A.sum(1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = r[out == 0].sum()
+        contrib = np.zeros(n)
+        for s in range(n):
+            if out[s]:
+                contrib += r[s] / out[s] * A[s]
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    # the sink outranks its sole feeder chain start
+    assert got[2] > got[3]
