@@ -2971,3 +2971,49 @@ def g01_pagerank(spark, sf_dir):
     )
     ranks = CL.pagerank(edges, damping=0.85, n_iters=_PR_ITERS)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# 34. BPE tokenizer training — the tokenizer-construction step of a
+#     training-data pipeline, distributed the way real trainers scale:
+#     ONE corpus-sized word-count pass, then the merge loop iterates a
+#     vocabulary-sized relation (pair-count shuffle + 1-row argmax +
+#     narrow Arrow merge per round).
+# --------------------------------------------------------------------------
+@_q("t33_bpe_train")
+def t33_bpe_train(spark, sf_dir):
+    """20 BPE merges trained on the documents corpus (textops/bpe.py).
+    Rows-only in DuckDB terms (iterative argmax-dependent rewriting) but
+    SELF-VERIFYING twice over: the learned merge list must equal a pure-
+    python textbook BPE over the same word-frequency dict (independent
+    oracle, same deterministic tie-break), and segmenting a sample with
+    the learned merges must be exactly invertible (concat tokens, EOW ->
+    space == whitespace-normalized text) — before returning rows."""
+    from logminer_kafka_connect_spark.operators.textops import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    n_merges = 20
+    merges = B.train_bpe(docs, n_merges=n_merges)
+    wf = {r.word: r.freq for r in B.word_freqs(docs).select("word", "freq").collect()}
+    ref = B.reference_bpe(wf, n_merges)
+    if merges != ref:
+        raise AssertionError(
+            f"distributed BPE diverged from the reference trainer: {merges} vs {ref}"
+        )
+    seg = B.bpe_segment(docs.limit(25), merges)
+    bad = (
+        seg.join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "rebuilt",
+            F.trim(F.replace(F.array_join("toks", ""), F.lit(B.EOW), F.lit(" "))),
+        )
+        .withColumn("norm", F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+        .filter(F.col("rebuilt") != F.col("norm"))
+        .count()
+    )
+    if bad:
+        raise AssertionError(f"BPE segmentation not invertible for {bad} docs")
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank long, left string, right string, pair_freq long",
+    )

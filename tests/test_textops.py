@@ -632,3 +632,31 @@ def test_pq_topk_recall_floor_and_partition_invariance(spark):
     assert got50 == got
     big = S.pq_topk(codes, emb, q, books, k=3, shortlist=10_000)
     assert big.count() == 30
+
+
+def test_bpe_train_matches_reference_and_segments_invertibly(spark):
+    from logminer_kafka_connect_spark.operators.textops import bpe as B
+
+    df = spark.createDataFrame(
+        [
+            (1, "low low low lower lower lowest"),
+            (2, "new newer newest new new"),
+            (3, "low new low new"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = B.train_bpe(df, n_merges=12)
+    wf = {r.word: r.freq for r in B.word_freqs(df).select("word", "freq").collect()}
+    assert merges == B.reference_bpe(wf, 12)
+    # frequent stems merge early: 'l'+'o' or 'o'+'w' (and 'n'+'e'/'e'+'w')
+    assert merges[0][2] >= merges[-1][2]  # counts non-increasing-ish head/tail
+    firsts = {(l, r) for l, r, _ in merges[:4]}
+    assert ("l", "o") in firsts or ("o", "w") in firsts or ("lo", "w") in firsts
+    seg = {r.doc_id: r.toks for r in B.bpe_segment(df, merges).collect()}
+    rebuilt = "".join(seg[1]).replace(B.EOW, " ").strip()
+    assert rebuilt == "low low low lower lower lowest"
+    # a fully-merged vocab stops early instead of padding
+    tiny = spark.createDataFrame([(1, "aa aa")], "doc_id long, text string")
+    m2 = B.train_bpe(tiny, n_merges=50)
+    assert 0 < len(m2) < 50
+    assert m2 == B.reference_bpe({"aa": 2}, 50)
