@@ -3017,3 +3017,56 @@ def t33_bpe_train(spark, sf_dir):
         [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
         "rank long, left string, right string, pair_freq long",
     )
+
+
+# --------------------------------------------------------------------------
+# 35. BM25 ranked retrieval — the lexical-search complement of the ANN
+#     suite: every quantity (tf, df, idf, length norm) is relational, so
+#     the scorer is pure JVM SQL and the DuckDB oracle reproduces the
+#     exact Okapi formula end-to-end.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "join", "window", "vector"]
+
+
+@_q(
+    "r01_bm25_topk",
+    f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+      )
+      WHERE w IN ({", ".join(repr(t) for t in sorted(_BM25_TERMS))})
+      GROUP BY doc_id, w
+    ), idf AS (
+      SELECT term,
+             ln(1 + ((SELECT count(*) FROM documents) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+      FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(sum(idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / (SELECT avg(dl) FROM lens)))), 6) AS score
+      FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def r01_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a 4-term query (textops/retrieval.py::
+    bm25_topk, k1=1.2 b=0.75, Lucene non-negative idf): tf is the one
+    corpus shuffle (a standing inverted index at scale), df/idf come
+    from the query-filtered tf relation, the global top-k is
+    TakeOrderedAndProject (no single-partition sort)."""
+    from logminer_kafka_connect_spark.operators.textops.retrieval import bm25_topk
+
+    return bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)

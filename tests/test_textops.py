@@ -660,3 +660,33 @@ def test_bpe_train_matches_reference_and_segments_invertibly(spark):
     m2 = B.train_bpe(tiny, n_merges=50)
     assert 0 < len(m2) < 50
     assert m2 == B.reference_bpe({"aa": 2}, 50)
+
+
+def test_bm25_ranks_term_density_and_rarity(spark):
+    """BM25 sanity on a constructed corpus: (a) the doc stuffed with the
+    rare query term outranks one mentioning it once; (b) a doc matching
+    only the common term ranks below both; (c) non-matching docs are
+    absent; (d) longer doc with same tf scores lower (length norm)."""
+    from logminer_kafka_connect_spark.operators.textops.retrieval import bm25_topk
+
+    filler = "corpus " * 30
+    df = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra " + filler),
+            (2, "zebra " + filler),
+            (3, "common " + filler),
+            (4, filler),
+            (5, "zebra " + filler * 3),  # same tf as doc 2, 3x longer
+        ],
+        "doc_id long, text string",
+    )
+    # 'common' appears in every doc's filler? no — filler word is 'corpus';
+    # make 'common' genuinely common:
+    df = df.withColumn("text", F.concat(F.col("text"), F.lit(" common")))
+    got = {r.doc_id: (r.score, r.rank) for r in bm25_topk(df, ["zebra", "common"], k=5).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # all docs match 'common'
+    assert got[1][1] == 1  # term-stuffed doc first
+    assert got[1][0] > got[2][0] > got[3][0]
+    assert got[2][0] > got[5][0]  # length normalization
+    only_rare = {r.doc_id for r in bm25_topk(df, ["zebra"], k=5).collect()}
+    assert only_rare == {1, 2, 5}
