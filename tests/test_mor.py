@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from logminer_kafka_connect_spark.plans.lakehouse import (
+    OP_COL,
     SET_COLS_COL,
     SnapshotTable,
 )
@@ -330,3 +331,55 @@ def test_streaming_into_mor_table_with_cadence(spark, tmpdir_path):
     ops = [m.get("operation") for m in engine.table.snapshot_history()]
     assert "merge-mor" in ops and "compact" in ops, ops
     assert engine.table.delta_depth() <= 2
+
+
+def test_ddl_composes_with_outstanding_deltas(spark, tmpdir_path):
+    """Schema evolution on a merge-on-read table whose deltas are NOT yet
+    compacted: widen/rename/drop all apply to delta files written at the
+    old physical schema, partial updates written at the new schema fold
+    over pre-DDL deltas, and compaction preserves the state bit-for-bit."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("x", T.StringType()),
+        ]
+    )
+    t = SnapshotTable.create(
+        f"{tmpdir_path}/mor_ddl", schema, ["url"], n_buckets=2, merge_mode="mor"
+    )
+    t.overwrite(
+        spark.createDataFrame([("a", 1, "p"), ("b", 2, "q")], "url string, n int, x string")
+    )
+    b1 = (
+        spark.createDataFrame([("a", 5, "r")], "url string, n int, x string")
+        .withColumn(OP_COL, F.lit("u"))
+        .withColumn(SET_COLS_COL, F.lit(None).cast("array<string>"))
+    )
+    t.merge(spark, b1, batch_id="b1")  # outstanding delta at the OLD schema
+
+    t.alter_column_type("n", T.LongType())
+    t.rename_column("n", "m")
+    t.drop_column("x")
+    df = t.read(spark)
+    assert dict(df.dtypes) == {"url": "string", "m": "bigint"}
+    assert sorted(tuple(r) for r in df.collect()) == [("a", 5), ("b", 2)]
+
+    # post-DDL batches: a long beyond int range and a partial update on
+    # the renamed column, both folding over the pre-DDL delta
+    b2 = (
+        spark.createDataFrame([("b", 5_000_000_000)], "url string, m long")
+        .withColumn(OP_COL, F.lit("u"))
+        .withColumn(SET_COLS_COL, F.lit(None).cast("array<string>"))
+    )
+    t.merge(spark, b2, batch_id="b2")
+    b3 = (
+        spark.createDataFrame([("a", 9)], "url string, m long")
+        .withColumn(OP_COL, F.lit("u"))
+        .withColumn(SET_COLS_COL, F.array(F.lit("m")))
+    )
+    t.merge(spark, b3, batch_id="b3")
+    want = [("a", 9), ("b", 5_000_000_000)]
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == want
+    t.compact(spark)
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == want
