@@ -113,6 +113,13 @@ HEADLINE = [
     "d21_decontaminate",
     "d22_bloom_novelty",
     "d23_incremental_dedup",
+    # round-5 session-4 additions
+    "a13_funnel_steps",
+    "t31_word_entropy",
+    "t32_weighted_sample",
+    "r01_bm25_topk",
+    "g01_pagerank",
+    "n21_pq_topk",
 ]
 
 
