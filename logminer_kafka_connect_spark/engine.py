@@ -49,6 +49,7 @@ class CdcEngine:
         sort_cols: list[str] | None = None,
         merge_mode: str = "cow",
         compact_every: int | None = None,
+        audit_hook=None,
     ):
         self.spark = spark
         self.workdir = workdir
@@ -80,6 +81,11 @@ class CdcEngine:
         self.driver.salt_chunks = salt_chunks
         # mor read-amplification bound: fold deltas every K applied batches
         self.driver.compact_every = compact_every
+        # write-audit-publish gate: audit_hook(staged_state_df) -> bool;
+        # each batch stages on a table branch and lands on main only via a
+        # fast-forward publish after the hook approves (see
+        # ReplayDriver._apply_to_table / SnapshotTable.publish_branch)
+        self.driver.audit_hook = audit_hook
         self.config = None  # set by from_properties
 
     @classmethod

@@ -27,6 +27,7 @@ Two front-ends share ``process_range``:
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -51,6 +52,16 @@ from logminer_kafka_connect_spark.operators.filters import (
 from logminer_kafka_connect_spark.plans.lakehouse import SnapshotTable
 from logminer_kafka_connect_spark.plans.lineage import LineageLog
 from logminer_kafka_connect_spark.streaming.ddl import DdlEvent, apply_ddl, parse_ddl
+
+
+#: batch-id chars that cannot appear in a branch name
+_BRANCH_SAFE_RE = re.compile(r"[^A-Za-z0-9_-]")
+
+
+class AuditRejectedError(RuntimeError):
+    """The write-audit-publish hook rejected a staged batch: the branch
+    was dropped and the main table never advanced. Fix the upstream data
+    (or the hook) and rerun — the batch id is still unapplied."""
 
 
 @dataclass
@@ -111,6 +122,13 @@ class ReplayDriver:
         # on only when a single key holds >= AUTO_SALT_SHARE of the batch;
         # an int forces it, None disables.
         self.salt_chunks: int | str | None = "auto"
+        # Write-audit-publish gate: when set, every batch MERGE stages on
+        # a table branch; the hook receives the branch's post-merge state
+        # DataFrame and returns True (publish atomically) or False (drop
+        # the branch and raise AuditRejectedError — the batch never
+        # touched the main table; nothing to roll back). See
+        # ``_apply_to_table``.
+        self.audit_hook = None
 
     # ------------------------------------------------------ auto salting
     #: single-key share of the sampled batch at which the salted fold kicks in
@@ -252,9 +270,58 @@ class ReplayDriver:
         salt_chunks: int | None = None,
     ) -> tuple[int, int, int, DataFrame | None]:
         """Parse -> (error routing) -> net-effect fold -> MERGE for one
-        target table over its committed changes. Returns
+        target table over its committed changes — wrapped, when
+        ``audit_hook`` is set, in a write-audit-publish cycle: the batch
+        merges onto a table BRANCH, the hook audits the staged state, and
+        only then does one fast-forward metadata commit land it on main
+        (reject -> branch dropped, AuditRejectedError, main never
+        advanced; rerunning after a fix retries the same batch id). The
+        branch's ledger extends main's at fork, so idempotence and the
+        SCN watermark cross the publish unchanged. Returns
         ``(n_net_rows, n_parse_errors, n_quarantined, partition_lineage_df)``.
         Shared by the single-table and multi-table drivers."""
+        scn_hi = scn_bounds[1] if scn_bounds is not None else None
+        if self.audit_hook is not None:
+            if table.is_applied(batch_id, scn_hi=scn_hi):
+                return 0, 0, 0, None
+            branch_name = "audit-" + _BRANCH_SAFE_RE.sub("-", batch_id)[-48:]
+            try:  # a crashed prior attempt may have left the branch behind
+                table.drop_branch(branch_name)
+            except ValueError:
+                pass
+            branch = table.create_branch(branch_name)
+            res = self._apply_to_table_inner(
+                committed, batch_id, branch, key_col,
+                scn_bounds=scn_bounds, quarantine_key=quarantine_key,
+                salt_chunks=salt_chunks,
+            )
+            if branch.current_version() == 0:  # nothing staged (empty batch)
+                table.drop_branch(branch_name)
+                return res
+            if not self.audit_hook(branch.read(self.spark)):
+                table.drop_branch(branch_name)
+                raise AuditRejectedError(
+                    f"audit hook rejected batch {batch_id!r}; main table untouched"
+                )
+            table.publish_branch(branch_name)
+            table.drop_branch(branch_name)
+            return res
+        return self._apply_to_table_inner(
+            committed, batch_id, table, key_col,
+            scn_bounds=scn_bounds, quarantine_key=quarantine_key,
+            salt_chunks=salt_chunks,
+        )
+
+    def _apply_to_table_inner(
+        self,
+        committed: DataFrame,
+        batch_id: str,
+        table: SnapshotTable,
+        key_col: str,
+        scn_bounds: tuple[int, int] | None = None,
+        quarantine_key: str | None = None,
+        salt_chunks: int | None = None,
+    ) -> tuple[int, int, int, DataFrame | None]:
         scn_hi = scn_bounds[1] if scn_bounds is not None else None
         if table.is_applied(batch_id, scn_hi=scn_hi):
             return 0, 0, 0, None

@@ -1,0 +1,105 @@
+"""Write-audit-publish gate on the replay driver (audit_hook).
+
+Extends the T7 exactly-once family: every batch stages on a table branch
+and lands on main only through a fast-forward publish after the hook
+approves; a rejection never touches main and leaves the batch id
+unapplied for a post-fix rerun.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logminer_kafka_connect_spark.engine import CdcEngine
+from logminer_kafka_connect_spark.sources.generator import SCN0, CdcGenerator, GeneratorConfig
+from logminer_kafka_connect_spark.streaming.driver import AuditRejectedError
+
+CFG = GeneratorConfig(seed=23, n_txns=40, n_urls=80, n_snapshot=30)
+
+
+def _expected(gen):
+    return (
+        gen.expected_final_state(include_snapshot=True)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_audited_replay_matches_unaudited(spark, tmpdir_path):
+    gen = CdcGenerator(CFG)
+    audits = []
+
+    def hook(df):
+        audits.append(df.count())
+        return True
+
+    eng = CdcEngine(spark, f"{tmpdir_path}/a", n_buckets=8, audit_hook=hook)
+    eng.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    stats = eng.replay(gen.events_df(spark), n_batches=4)
+    assert stats.n_parse_errors == 0
+    assert len(audits) >= 4  # the hook really gated every applied batch
+
+    twin = CdcEngine(spark, f"{tmpdir_path}/b", n_buckets=8)
+    twin.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    twin.replay(gen.events_df(spark), n_batches=4)
+    a = eng.state().orderBy("url").toPandas()
+    b = twin.state().orderBy("url").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    # no branch leftovers on the main table
+    import os
+
+    bdir = f"{tmpdir_path}/a/pages_table/branches"
+    leftover = [
+        n for n in (os.listdir(bdir) if os.path.exists(bdir) else [])
+        if os.path.exists(f"{bdir}/{n}/metadata")
+    ]
+    assert leftover == []
+
+
+def test_rejected_batch_never_touches_main_and_reruns(spark, tmpdir_path):
+    gen = CdcGenerator(CFG)
+    state = {"reject": True, "calls": 0}
+
+    def hook(df):
+        state["calls"] += 1
+        return not state["reject"]
+
+    eng = CdcEngine(spark, f"{tmpdir_path}/t", n_buckets=8, audit_hook=hook)
+    eng.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    v0 = eng.table.current_version()
+    with pytest.raises(AuditRejectedError, match="main table untouched"):
+        eng.replay(gen.events_df(spark), n_batches=4)
+    # main never advanced past the snapshot; snapshot state intact
+    assert eng.table.current_version() == v0
+    snap = gen.snapshot_pdf().sort_values("url").reset_index(drop=True)
+    got = eng.state().select("url").orderBy("url").toPandas()
+    assert list(got["url"]) == list(snap["url"])
+
+    # operator fixes the upstream issue -> rerun with the SAME batch ids
+    state["reject"] = False
+    stats = eng.replay(gen.events_df(spark), n_batches=4)
+    assert stats.n_parse_errors == 0
+    a = eng.state().orderBy("url").toPandas().sort_values("url").reset_index(drop=True)
+    exp = _expected(gen)
+    assert list(a["url"]) == list(exp["url"])
+    assert list(a["lang"].fillna("~")) == list(exp["lang"].fillna("~"))
+
+
+def test_audit_hook_sees_staged_not_main_state(spark, tmpdir_path):
+    """The hook's DataFrame is the BRANCH state (snapshot + this batch),
+    not main: on the first audited batch it must already contain rows
+    main does not have yet."""
+    gen = CdcGenerator(GeneratorConfig(seed=29, n_txns=20, n_urls=40, n_snapshot=0))
+    seen = []
+
+    def hook(df):
+        seen.append(df.count())
+        return True
+
+    eng = CdcEngine(spark, f"{tmpdir_path}/t", n_buckets=8, audit_hook=hook)
+    # no snapshot: main starts empty, so the first staged count must be > 0
+    eng.replay(gen.events_df(spark), n_batches=2)
+    assert seen and seen[0] > 0
+    assert eng.state().count() == len(gen.expected_final_state(include_snapshot=False))
