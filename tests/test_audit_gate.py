@@ -103,3 +103,40 @@ def test_audit_hook_sees_staged_not_main_state(spark, tmpdir_path):
     eng.replay(gen.events_df(spark), n_batches=2)
     assert seen and seen[0] > 0
     assert eng.state().count() == len(gen.expected_final_state(include_snapshot=False))
+
+
+def test_audit_gate_composes_with_streaming(spark, tmpdir_path):
+    """run_streaming funnels every trigger through the same gated
+    _apply_to_table: a streaming tail with an approving hook converges to
+    the generator oracle, and the hook fired for the applied batches."""
+    import os
+    import time as _time
+
+    cfg = GeneratorConfig(seed=31, n_txns=30, n_urls=60, n_snapshot=20)
+    gen = CdcGenerator(cfg)
+    events_path = os.path.join(tmpdir_path, "events")
+    (
+        gen.events_df(spark)
+        .repartitionByRange(4, "scn")
+        .sortWithinPartitions("scn", "row_id", "seq")
+        .write.mode("overwrite")
+        .parquet(events_path)
+    )
+    now = _time.time()
+    for i, f in enumerate(sorted(p for p in os.listdir(events_path) if p.startswith("part-"))):
+        os.utime(os.path.join(events_path, f), (now + i, now + i))
+
+    audits = []
+
+    def hook(df):
+        audits.append(df.count())
+        return True
+
+    eng = CdcEngine(spark, tmpdir_path, n_buckets=8, audit_hook=hook)
+    eng.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    q = eng.run_streaming(events_path, os.path.join(tmpdir_path, "ckpt"), max_files_per_trigger=2)
+    q.awaitTermination(300)
+    assert audits, "streaming triggers never hit the audit hook"
+    exp = gen.expected_final_state(include_snapshot=True)
+    got = eng.state().orderBy("url").toPandas()
+    assert list(got["url"]) == list(exp.sort_values("url")["url"])
