@@ -223,11 +223,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"))
+    # degrees never change across iterations: when the graph has no
+    # dangling nodes, skip the per-round dangling-mass job entirely
+    has_dangling = ranks.filter(F.col("out_deg").isNull()).limit(1).count() > 0
     for _ in range(n_iters):
         dangling = (
             ranks.filter(F.col("out_deg").isNull()).agg(F.sum("rank")).collect()[0][0]
             or 0.0
-        )
+        ) if has_dangling else 0.0
         contrib = (
             ranks.filter(F.col("out_deg").isNotNull())
             .join(e, "node")
