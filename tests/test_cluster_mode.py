@@ -135,3 +135,63 @@ def test_replay_under_local_cluster_matches_local_mode(spark, tmpdir_path):
     clu_parts = part_agg(clu)
     # batch ids embed the scn range -> directly comparable across engines
     assert clu_parts == ref_parts and len(clu_parts) == 2
+
+
+def test_textops_entries_under_local_cluster_match_local_mode(spark, tmpdir_path):
+    """Multi-JVM evidence for the textops/analytics side: MinHash-LSH
+    (md5 arithmetic + joins across executor shuffles), PQ ANN (numpy
+    codebooks cloudpickled into REAL executor Python workers via
+    mapInPandas), and PageRank (iterative localCheckpoint blocks living
+    in executor storage) run under local-cluster and must match
+    local-mode row-for-row (floats to 1e-9)."""
+    import math
+
+    from logminer_kafka_connect_spark import entry_queries
+
+    names = ["d15_minhash_lsh", "n21_pq_topk", "g01_pagerank"]
+    sf_dir = "/root/testdata/sf0.001"
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_pyfiles import build
+
+    zip_path = build(os.path.join(tmpdir_path, "lmkc.zip"))
+    app = os.path.join(tmpdir_path, "submit_queries.py")
+    shutil.copy(os.path.join(REPO, "scripts", "submit_queries.py"), app)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            _spark_submit_bin(),
+            "--master", "local-cluster[2,1,1536]",
+            "--conf", "spark.executor.memory=1g",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            app,
+            "--sf-dir", sf_dir,
+            "--names", ",".join(names),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=tmpdir_path,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    clu = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    for name in names:
+        df = entry_queries.QUERIES[name](spark, sf_dir)
+        cols = sorted(df.columns)
+        local_rows = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        got = clu[name]
+        assert got["columns"] == cols, name
+        assert len(got["rows"]) == len(local_rows), name
+        for cr, lr in zip(got["rows"], local_rows):
+            for cv, lv in zip(cr, lr):
+                if isinstance(lv, float):
+                    assert math.isclose(float(cv), lv, rel_tol=0, abs_tol=1e-9), (name, cv, lv)
+                else:
+                    assert str(cv) == str(lv), (name, cv, lv)
