@@ -3070,3 +3070,76 @@ def r01_bm25_topk(spark, sf_dir):
     from logminer_kafka_connect_spark.operators.textops.retrieval import bm25_topk
 
     return bm25_topk(t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+# --------------------------------------------------------------------------
+# 36. Audit-gated CDC replay — the engine-level write-audit-publish story
+#     (the table-level lifecycle is cdc_wap_publish): every batch stages
+#     on a branch, an audit hook approves or rejects, main advances only
+#     by fast-forward publish.
+# --------------------------------------------------------------------------
+@_q("cdc_audit_gate")
+def cdc_audit_gate(spark, sf_dir):
+    """Replay the deterministic CDC fixture through an audit-gated engine
+    (CdcEngine(audit_hook=...)) twice: first with a hook that REJECTS the
+    initial change batch — the replay aborts loudly and the main table
+    must still equal the bare snapshot; then with an approving hook — the
+    final state must equal an ungated twin row-for-row, with the hook
+    having fired once per applied batch. Rows-only in DuckDB terms (a
+    gated multi-batch MERGE lifecycle) but SELF-VERIFYING as above before
+    anything is returned."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.engine import CdcEngine
+    from logminer_kafka_connect_spark.sources.generator import (
+        SCN0,
+        CdcGenerator,
+        GeneratorConfig,
+    )
+    from logminer_kafka_connect_spark.streaming.driver import AuditRejectedError
+
+    sf = "0.001" if "0.001" in sf_dir else ("0.01" if "0.01" in sf_dir else "0.1")
+    n_txns = {"0.001": 40, "0.01": 120, "0.1": 400}[sf]
+    gen = CdcGenerator(
+        GeneratorConfig(seed=51, n_txns=n_txns, n_urls=n_txns * 2, n_snapshot=n_txns)
+    )
+    workdir = tempfile.mkdtemp(prefix="lmkc-gate-")
+    calls = {"n": 0, "approve": False}
+
+    def hook(staged):
+        calls["n"] += 1
+        return calls["approve"]
+
+    engine = CdcEngine(spark, f"{workdir}/gated", n_buckets=16, audit_hook=hook)
+    engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
+    v_snap = engine.table.current_version()
+    events = gen.events_df(spark)
+    try:
+        engine.replay(events, n_batches=4)
+        raise AssertionError("rejecting hook did not abort the replay")
+    except AuditRejectedError:
+        pass
+    if engine.table.current_version() != v_snap:
+        raise AssertionError("rejected batch advanced the main table")
+    if calls["n"] != 1:
+        raise AssertionError(f"hook fired {calls['n']} times during the rejected run")
+
+    calls["approve"] = True
+    stats = engine.replay(events, n_batches=4)
+    if calls["n"] < 1 + stats.n_batches:
+        raise AssertionError("hook did not gate every applied batch")
+
+    twin = CdcEngine(spark, f"{workdir}/twin", n_buckets=16)
+    twin.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
+    twin.replay(events, n_batches=4)
+    proj = lambda e: sorted(  # noqa: E731
+        (r.url, r.text, r.lang) for r in e.state().select("url", "text", "lang").collect()
+    )
+    if proj(engine) != proj(twin):
+        raise AssertionError("audit-gated final state diverged from the ungated twin")
+    return engine.state().select(
+        "url",
+        F.length("text").cast("long").alias("text_len"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        "lang",
+    )
