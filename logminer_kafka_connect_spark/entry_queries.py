@@ -3143,3 +3143,36 @@ def cdc_audit_gate(spark, sf_dir):
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
         "lang",
     )
+
+
+# --------------------------------------------------------------------------
+# 37. Shingle containment — the asymmetric near-dup signal Jaccard misses
+#     (a short doc wholly quoted inside a long one: Jaccard ~0 because the
+#     union is dominated by the long doc, containment = 1).
+# --------------------------------------------------------------------------
+@_q(
+    "d26_containment",
+    f"""
+    WITH {_shingle_cte(3, "WHERE doc_id < 120")},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS lo, b.doc_id AS hi, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    both_dirs AS (
+      SELECT lo AS id_a, hi AS id_b, round(n_inter / na.n, 6) AS containment
+      FROM inter JOIN sizes na ON na.doc_id = lo
+      UNION ALL
+      SELECT hi, lo, round(n_inter / nb.n, 6)
+      FROM inter JOIN sizes nb ON nb.doc_id = hi
+    )
+    SELECT id_a, id_b, containment FROM both_dirs WHERE containment >= 0.05
+    """,
+)
+def d26_containment(spark, sf_dir):
+    """Directed containment c(a->b) = |A∩B|/|A| over word trigram shingle
+    sets (textops/dedup.py::containment_pairs): one co-shingle equi-join
+    per unordered pair, both directions from the same intersection
+    count."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.containment_pairs(docs, threshold=0.05)

@@ -406,3 +406,47 @@ def semdedup_prune(
     return emb.select(id_col).join(victims, id_col, "left").select(
         id_col, F.col("__dropped").isNull().alias("kept")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment c(a -> b) = |A∩B| / |A| — the
+    doc-inside-doc detector Jaccard misses: a short document wholly
+    quoted by a long one has tiny Jaccard (union is dominated by the
+    long doc) but containment 1.0. Directed: (id_a, id_b, containment)
+    means id_a's shingles are covered by id_b's. One co-shingle
+    equi-join computed once per unordered pair, then both directions
+    derived from the same intersection count — the brute small-scale
+    path (at scale, feed LSH candidates through the same arithmetic as
+    jaccard_pairs(pairs=...))."""
+    sh = doc_shingles(df, id_col, text_col, shingle_k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("lo"), F.col(f"b.{id_col}").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_lo = sizes.select(F.col(id_col).alias("lo"), F.col("n").alias("n_lo"))
+    n_hi = sizes.select(F.col(id_col).alias("hi"), F.col("n").alias("n_hi"))
+    both = inter.join(n_lo, "lo").join(n_hi, "hi")
+    fwd = both.select(
+        F.col("lo").alias("id_a"),
+        F.col("hi").alias("id_b"),
+        F.round(F.col("n_inter") / F.col("n_lo"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("hi").alias("id_a"),
+        F.col("lo").alias("id_b"),
+        F.round(F.col("n_inter") / F.col("n_hi"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

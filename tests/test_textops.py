@@ -690,3 +690,26 @@ def test_bm25_ranks_term_density_and_rarity(spark):
     assert got[2][0] > got[5][0]  # length normalization
     only_rare = {r.doc_id for r in bm25_topk(df, ["zebra"], k=5).collect()}
     assert only_rare == {1, 2, 5}
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    """The asymmetric signal: a short doc quoted inside a long one has
+    containment 1.0 in the short->long direction, low Jaccard, and a
+    much lower long->short containment."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.containment_pairs(df, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(2, 1)] < 0.1
+    assert (1, 3) not in got and (3, 1) not in got
+    jac = {
+        (r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.1  # why containment exists
