@@ -1807,6 +1807,33 @@ class SnapshotTable:
             raise ValueError(f"no such branch: {name}")
         return branch
 
+    def list_branches(self) -> list[dict[str, Any]]:
+        """Live branches (maintenance surface — crashed audits leave a
+        branch behind until something reclaims it): (name, fork_version,
+        version, created_at) per branch that still has metadata."""
+        root = os.path.join(self.path, "branches")
+        out = []
+        if not self.fs.exists(root):
+            return out
+        for name in sorted(self.fs.listdir(root)):
+            b = SnapshotTable(os.path.join(root, name), fs=self.fs)
+            if not b.exists():
+                continue  # published-then-dropped: data retained, no metadata
+            try:
+                m = b.metadata()
+            except Exception:
+                continue
+            first = b.metadata(0) if m["version"] else m
+            out.append(
+                {
+                    "name": name,
+                    "fork_version": first.get("fork_version"),
+                    "version": m["version"],
+                    "created_at": first.get("timestamp"),
+                }
+            )
+        return out
+
     @_with_writer_lock
     def publish_branch(self, name: str) -> int:
         """Atomically publish a staged branch to the main table — the

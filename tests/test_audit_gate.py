@@ -140,3 +140,55 @@ def test_audit_gate_composes_with_streaming(spark, tmpdir_path):
     exp = gen.expected_final_state(include_snapshot=True)
     got = eng.state().orderBy("url").toPandas()
     assert list(got["url"]) == list(exp.sort_values("url")["url"])
+
+
+def test_audit_gate_multitable(spark, tmpdir_path):
+    """The gate applies per (batch, table) in the multi-table driver:
+    every staged state the hook sees belongs to exactly one table, and
+    both final states match ungated twins."""
+    from pyspark.sql import types as T
+
+    from logminer_kafka_connect_spark.engine import (
+        PAGES_SCHEMA,
+        MultiTableCdcEngine,
+        TableSpec,
+    )
+
+    links_schema = T.StructType(
+        [
+            T.StructField("link_id", T.StringType(), False),
+            T.StructField("src_url", T.StringType(), True),
+            T.StructField("href", T.StringType(), True),
+            T.StructField("anchor", T.StringType(), True),
+        ]
+    )
+    specs = [
+        TableSpec("CRAWL", "PAGES", PAGES_SCHEMA, "url"),
+        TableSpec("CRAWL", "LINKS", links_schema, "link_id"),
+    ]
+    gen = CdcGenerator(
+        GeneratorConfig(seed=43, n_txns=60, n_urls=100, n_snapshot=30, p_links_txn=0.3)
+    )
+    audited_cols = []
+
+    def hook(df):
+        audited_cols.append(tuple(sorted(df.columns)))
+        return True
+
+    eng = MultiTableCdcEngine(spark, f"{tmpdir_path}/a", specs, n_buckets=4)
+    eng.driver.audit_hook = hook
+    eng.load_snapshot("PAGES", spark.createDataFrame(gen.snapshot_pdf()), SCN0 - 1)
+    eng.replay(gen.events_df(spark), n_batches=3)
+    assert audited_cols
+    pages_cols = tuple(sorted(f.name for f in PAGES_SCHEMA.fields))
+    links_cols = tuple(sorted(f.name for f in links_schema.fields))
+    assert set(audited_cols) <= {pages_cols, links_cols}
+    assert pages_cols in audited_cols and links_cols in audited_cols
+
+    twin = MultiTableCdcEngine(spark, f"{tmpdir_path}/b", specs, n_buckets=4)
+    twin.load_snapshot("PAGES", spark.createDataFrame(gen.snapshot_pdf()), SCN0 - 1)
+    twin.replay(gen.events_df(spark), n_batches=3)
+    for name, key in [("PAGES", "url"), ("LINKS", "link_id")]:
+        a = eng.state(name).orderBy(key).toPandas()
+        b = twin.state(name).orderBy(key).toPandas()
+        pd.testing.assert_frame_equal(a, b)

@@ -160,3 +160,20 @@ def test_wap_works_with_mor_tables(spark, tmpdir_path):
     # outstanding deltas crossed the publish; compaction on main folds them
     t.compact(spark)
     assert _state(spark, t) == [("a", 1), ("b", 20)]
+
+
+def test_list_branches_surface(spark, tmpdir_path):
+    t = _mk(spark, tmpdir_path)
+    assert t.list_branches() == []
+    t.create_branch("audit")
+    t.create_branch("experiment")
+    names = {b["name"]: b for b in t.list_branches()}
+    assert set(names) == {"audit", "experiment"}
+    assert names["audit"]["fork_version"] == t.current_version()
+    assert names["audit"]["version"] == 0
+    br = t.branch("audit")
+    br.merge(spark, _batch(spark, [("a", 7)]), batch_id="b1")
+    assert {b["name"]: b["version"] for b in t.list_branches()}["audit"] == 1
+    t.publish_branch("audit")
+    t.drop_branch("audit")  # published: metadata gone, data retained
+    assert {b["name"] for b in t.list_branches()} == {"experiment"}
