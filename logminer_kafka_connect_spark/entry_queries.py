@@ -3176,3 +3176,42 @@ def d26_containment(spark, sf_dir):
     count."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     return D.containment_pairs(docs, threshold=0.05)
+
+
+# --------------------------------------------------------------------------
+# 38. Classifier-gate inference — the model-scoring step of a curation
+#     pipeline (DCLM / FineWeb-edu quality gates) with the linear model
+#     INLINED into the scan: features + sigmoid in whole-stage codegen,
+#     zero Python, zero shuffle. Weights are a deterministic stand-in a
+#     trained model would replace without touching the plan.
+# --------------------------------------------------------------------------
+_GATE_STOPS = "'a','and','das','de','der','des','die','el','et','ist','la','le','les','of','que','the','to','und','y'"
+
+
+@_q(
+    "t34_classifier_gate",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ), z AS (
+      SELECT doc_id,
+             -3.0
+             + 0.35 * ln(1.0 + len(ws))
+             + 2.0  * (len(list_filter(ws, w -> w IN ({_GATE_STOPS}))) / CAST(len(ws) AS DOUBLE))
+             + 0.15 * (list_aggregate(list_transform(ws, w -> CAST(length(w) AS DOUBLE)), 'sum') / len(ws))
+             + 1.5  * (len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)) AS z
+      FROM feats
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 6) AS score,
+           round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+    FROM z
+    """,
+)
+def t34_classifier_gate(spark, sf_dir):
+    """Logistic quality gate over four Catalyst-computed features
+    (textops/quality.py::classifier_gate) — one narrow codegen pass;
+    the DuckDB oracle evaluates the identical model."""
+    return Q.classifier_gate(t(spark, sf_dir, "documents"))

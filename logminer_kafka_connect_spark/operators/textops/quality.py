@@ -327,3 +327,50 @@ def word_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         n.cast("long").alias("n_words"),
         F.round(F.log2(n) - s / n, 4).alias("entropy"),
     )
+
+
+#: fixed logistic weights of the quality gate — deterministic stand-in for
+#: a trained fastText/LR quality classifier (DCLM / FineWeb-edu style);
+#: swap in learned weights without touching the plan
+GATE_WEIGHTS = {
+    "bias": -3.0,
+    "log_words": 0.35,
+    "stopword_ratio": 2.0,
+    "avg_word_len": 0.15,
+    "uniq_ratio": 1.5,
+}
+
+
+def classifier_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Quality-classifier INFERENCE as a pure Catalyst expression — the
+    model-gating step of a curation pipeline (DCLM, FineWeb-edu) with
+    the linear model inlined into the scan: features (log word count,
+    stopword ratio, mean word length, unique-word ratio) and the
+    sigmoid all run JVM-side in whole-stage codegen, so at 100 TB the
+    gate costs one narrow pass with zero Python and zero shuffle.
+    Returns (id, score, keep)."""
+    wt = dict(GATE_WEIGHTS, **(weights or {}))
+    w = words_expr(text_col)
+    n = F.size(w)
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))) / n
+    awl = F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n
+    uniq = F.size(F.array_distinct(w)) / n
+    z = (
+        F.lit(wt["bias"])
+        + F.lit(wt["log_words"]) * F.log(F.lit(1.0) + n)
+        + F.lit(wt["stopword_ratio"]) * stop_ratio
+        + F.lit(wt["avg_word_len"]) * awl
+        + F.lit(wt["uniq_ratio"]) * uniq
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    )

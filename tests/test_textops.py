@@ -713,3 +713,27 @@ def test_containment_detects_doc_inside_doc(spark):
         (r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(df, threshold=0.0).collect()
     }
     assert jac[(1, 2)] < 0.1  # why containment exists
+
+
+def test_classifier_gate_monotone_and_plan_narrow(spark):
+    """(a) the gate is monotone in its strongest feature (stopword-rich
+    text scores above stopword-free text of equal shape); (b) custom
+    weights flow through; (c) the plan is a single narrow projection —
+    no Exchange, no Python."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house and the tree"),
+            (2, "cat dog mouse horse lamp chair stone river cloud field"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in Q.classifier_gate(df).collect()}
+    assert got[1] > got[2]
+    # weights: zeroing everything but bias gives sigmoid(bias) exactly
+    flat = {r.doc_id: r.score for r in Q.classifier_gate(
+        df, weights={"bias": 0.0, "log_words": 0.0, "stopword_ratio": 0.0,
+                     "avg_word_len": 0.0, "uniq_ratio": 0.0}).collect()}
+    assert set(flat.values()) == {0.5}
+    plan = Q.classifier_gate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
