@@ -282,9 +282,17 @@ class ReplayDriver:
         Shared by the single-table and multi-table drivers."""
         scn_hi = scn_bounds[1] if scn_bounds is not None else None
         if self.audit_hook is not None:
-            if table.is_applied(batch_id, scn_hi=scn_hi):
-                return 0, 0, 0, None
             branch_name = "audit-" + _BRANCH_SAFE_RE.sub("-", batch_id)[-48:]
+            if table.is_applied(batch_id, scn_hi=scn_hi):
+                try:
+                    # a crash between publish_branch and drop_branch leaves
+                    # published branch metadata behind; the idempotent
+                    # retry is the natural reclamation point (drop keeps
+                    # the published data subtree)
+                    table.drop_branch(branch_name)
+                except ValueError:
+                    pass
+                return 0, 0, 0, None
             try:  # a crashed prior attempt may have left the branch behind
                 table.drop_branch(branch_name)
             except ValueError:

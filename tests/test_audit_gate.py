@@ -192,3 +192,43 @@ def test_audit_gate_multitable(spark, tmpdir_path):
         a = eng.state(name).orderBy(key).toPandas()
         b = twin.state(name).orderBy(key).toPandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_crashed_publish_drop_window_reclaimed_on_retry(spark, tmpdir_path):
+    """Crash between publish_branch and drop_branch: the batch IS applied
+    on main, stale published-branch metadata remains. The idempotent
+    retry must skip the batch AND reclaim the metadata (data subtree
+    stays — main references it)."""
+    gen = CdcGenerator(GeneratorConfig(seed=53, n_txns=15, n_urls=30, n_snapshot=10))
+    eng = CdcEngine(spark, f"{tmpdir_path}/t", n_buckets=8, audit_hook=lambda df: True)
+    eng.load_snapshot(spark.createDataFrame(gen.snapshot_pdf()), snapshot_scn=SCN0 - 1)
+    events = gen.events_df(spark)
+
+    # simulate the crash window: publish succeeds, the drop right after
+    # it never runs (earlier reclamation drops must still work)
+    orig_drop, orig_pub = eng.table.drop_branch, eng.table.publish_branch
+    published = {"done": False}
+
+    def pub(name):
+        v = orig_pub(name)
+        published["done"] = True
+        return v
+
+    def drop(name):
+        if published["done"]:
+            raise KeyboardInterrupt
+        return orig_drop(name)
+
+    eng.table.publish_branch, eng.table.drop_branch = pub, drop
+    with pytest.raises(KeyboardInterrupt):
+        eng.replay(events, n_batches=1)
+    eng.table.drop_branch, eng.table.publish_branch = orig_drop, orig_pub
+    stale = [b["name"] for b in eng.table.list_branches()]
+    assert stale, "fixture broken: no stale branch left behind"
+    state_before = sorted(r.url for r in eng.state().select("url").collect())
+
+    # retry: batch skips (already published) and the stale branch is gone
+    stats = eng.replay(events, n_batches=1)
+    assert stats.n_events_applied == 0
+    assert eng.table.list_branches() == []
+    assert sorted(r.url for r in eng.state().select("url").collect()) == state_before
