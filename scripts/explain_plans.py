@@ -54,6 +54,9 @@ SHOW = [
     "t30_boilerplate_ngrams",  # shingle explode + single count shuffle
     "t31_word_entropy",   # two doc-keyed partial-agg shuffles, no window
     "t32_weighted_sample",  # ES weighted sample: stratum window, hash uniforms
+    "r01_bm25_topk",      # TakeOrderedAndProject global top-k (no 1-partition sort)
+    "t34_classifier_gate",  # model inference inlined: narrow, no Exchange/Python
+    "d26_containment",    # one co-shingle join, both directions derived
 ]
 
 
