@@ -3215,3 +3215,54 @@ def t34_classifier_gate(spark, sf_dir):
     (textops/quality.py::classifier_gate) — one narrow codegen pass;
     the DuckDB oracle evaluates the identical model."""
     return Q.classifier_gate(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 39. Retention cohorts — the second classic web-analytics matrix next to
+#     the funnel: users grouped by first-seen week, counted per
+#     subsequent active week (cohort_week x active_week retention).
+# --------------------------------------------------------------------------
+@_q(
+    "a14_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT f.cohort_week, a.active_week,
+           CAST(date_diff('week', f.cohort_week, a.active_week) AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def a14_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix in two user-keyed shuffles: first-seen
+    week per user (one agg), distinct (user, week) activity (one agg on
+    the SAME key — AQE reuses the partitioning), broadcast-joined back
+    and counted per (cohort_week, active_week). week_offset via integer
+    week arithmetic so both engines agree exactly (date_diff('week')
+    counts week-boundary crossings = truncated-week delta / 7 days)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        # to_date: DuckDB's date_trunc('week') yields DATE — match the type
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        "ts",
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.select("user_id", F.col("week").alias("active_week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "cohort_week",
+            "active_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )
