@@ -2652,7 +2652,11 @@ def t30_boilerplate(spark, sf_dir):
     i.e. the C4 repeated-span/boilerplate rule at corpus level. One
     narrow shingle projection + one map-side-combined count shuffle; the
     threshold is a scalar aggregate (textops/quality.py::
-    boilerplate_ngrams)."""
+    boilerplate_ngrams). Note the relative threshold is the semantics:
+    the synthetic corpus's gram diversity grows with scale, so at sf0.1
+    no trigram reaches 1% of 5,000 docs and the correct answer is empty
+    (the oracle agrees); real web corpora have true boilerplate
+    (banners, footers) that stays above any fraction."""
     return Q.boilerplate_ngrams(t(spark, sf_dir, "documents"), k=3, min_doc_frac=0.01)
 
 
