@@ -1779,7 +1779,15 @@ class SnapshotTable:
         parent never saw the batch. Branch-of-branch is refused (keeps
         file ownership two-level: parent owns its tree incl. published
         branch data, a branch owns only its own subtree — the expiry
-        ownership guard depends on this)."""
+        ownership guard depends on this).
+
+        Retention caveat (same as Iceberg branch retention): the parent's
+        ``expire_snapshots`` does not know about branch references — if
+        the parent advances past its retention window while a branch
+        still forks from an expired version, the fork's data files can be
+        reclaimed under it. Keep branches short-lived (the audit gate's
+        are one batch long) or size ``keep_last`` past the longest branch
+        lifetime."""
         meta = self.metadata()
         if meta.get("branch_of"):
             raise ValueError("cannot branch a branch (fork from the main table)")
