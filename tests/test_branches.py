@@ -177,3 +177,22 @@ def test_list_branches_surface(spark, tmpdir_path):
     t.publish_branch("audit")
     t.drop_branch("audit")  # published: metadata gone, data retained
     assert {b["name"] for b in t.list_branches()} == {"experiment"}
+
+
+def test_stale_branch_fails_loudly_after_parent_expiry(spark, tmpdir_path):
+    """The documented retention caveat: a branch forked from a version
+    that the parent has since expired must fail LOUDLY on read (missing
+    data paths), never silently return partial rows."""
+    t = _mk(spark, tmpdir_path)
+    br = t.create_branch("stale")
+    for i in range(4):  # parent advances; every bucket rewritten
+        t.merge(
+            spark,
+            _batch(spark, [("a", 10 + i), ("b", 20 + i), ("c", 30 + i)]),
+            batch_id=f"m{i}",
+        )
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(Exception, match="(?i)path does not exist|FileNotFound"):
+        br.read(spark).collect()
+    # the parent itself is fine
+    assert _state(spark, t) == [("a", 13), ("b", 23), ("c", 33)]
