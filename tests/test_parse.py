@@ -114,3 +114,88 @@ def test_fast_parser_matches_cursor_oracle_on_generator_output():
     # CSF chunks are expected to fail in BOTH parsers (reassembly happens
     # upstream); agreement on failures is part of the contract
     assert n_err < len(stmts)
+
+
+def test_fast_parser_matches_cursor_on_adversarial_statements():
+    """Property fuzz (r5 VERDICT Next #4, and the guard for the round-6
+    literal-scanner rewrite): fast and cursor parsers must agree — value
+    for value, or error for error — on hostile statements: literals
+    containing ``', ``, ``) values (``, doubled quotes, quoted identifiers
+    with dots/spaces, NULL-lookalikes, negative/exponent numbers, odd hex,
+    and truncations that split a statement mid-literal/mid-escape (the
+    reference's LongStatementsTest.kt splits mid-escape)."""
+    import random
+
+    from logminer_kafka_connect_spark.functions.redo_parse import (
+        parse_redo_statement_slow,
+    )
+
+    rng = random.Random(1234)
+    hostile_strings = [
+        "a', 'b",
+        ") values (",
+        "it''s a trap', ",
+        "'' ''",
+        "x" * 5000,
+        "ab''" * 700,
+        'say "hi"',
+        "NULL",
+        "null and void",
+        " where 1 = 1 ",
+        "TIMESTAMP '2020-01-01 00:00:00'",
+        "HEXTORAW('abcd')",
+        "-- comment",
+        "\\n\\t",
+        "&, ;, =",
+    ]
+    idents = ['"URL"', '"A B"', '"x.y"', '"weird\'col"', "BARE_ID", "C$#X", '"9lives"']
+    literals = (
+        ["'" + s.replace("'", "''") + "'" for s in hostile_strings]
+        + ["NULL", "EMPTY_BLOB()", "EMPTY_CLOB()", "-12.5", "3e10", "-0.0", "42"]
+        + ["HEXTORAW('deadBEEF')", "HEXTORAW('abc')", "HEXTORAW('')"]
+        + ["TIMESTAMP '2021-06-01 12:00:00.123456'", "DATE '2021-06-01'",
+           "TIMESTAMP '2021-06-01 12:00:00 Europe/Berlin CEST'",
+           "TIMESTAMP '2021-06-01 12:00:00 +05:30'"]
+    )
+
+    def make_stmt() -> str:
+        kind = rng.randrange(3)
+        tbl = rng.choice(['"C"."T"', '"O W N"."T.B"', "SCHEMA.TAB"])
+        n = rng.randrange(1, 6)
+        cols = [rng.choice(idents) for _ in range(n)]
+        vals = [rng.choice(literals) for _ in range(n)]
+        if kind == 0:
+            return f"insert into {tbl}({','.join(cols)}) values ({','.join(vals)})"
+        conds = " and ".join(
+            f"{c} IS NULL" if rng.random() < 0.2 else f"{c} = {v}"
+            for c, v in zip(cols, vals)
+        )
+        if kind == 1:
+            sets = ", ".join(f"{c} = {v}" for c, v in zip(cols, vals))
+            return f"update {tbl} set {sets} where {conds}"
+        return f"delete from {tbl} where {conds}"
+
+    stmts = []
+    for _ in range(4000):
+        s = make_stmt()
+        stmts.append(s)
+        if rng.random() < 0.3:  # truncation mid-statement (CSF split analog)
+            stmts.append(s[: rng.randrange(10, max(11, len(s)))])
+        if rng.random() < 0.1:  # garbage injection
+            i = rng.randrange(len(s))
+            stmts.append(s[:i] + rng.choice(["'", '"', ",", ")", " "]) + s[i:])
+
+    n_disagree = 0
+    for s in stmts:
+        try:
+            fast = parse_redo_statement(s)
+        except Exception:
+            fast = "ERR"
+        try:
+            slow = parse_redo_statement_slow(s)
+        except Exception:
+            slow = "ERR"
+        if fast != slow:
+            n_disagree += 1
+            assert False, f"fast={fast!r} slow={slow!r} on {s[:200]!r}"
+    assert n_disagree == 0 and len(stmts) > 4000
