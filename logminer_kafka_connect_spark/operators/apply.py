@@ -187,7 +187,7 @@ def build_merge_source_typed(
     parsed: DataFrame,
     schema: T.StructType,
     key_col: str = "url",
-    salt_chunks: int | None = None,
+    salt_chunks: int | tuple | None = None,
     scn_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Typed net-effect -> SnapshotTable.merge contract (same semantics as

@@ -78,7 +78,7 @@ def net_effect_typed(
     parsed: DataFrame,
     fields,
     key_col: str = "url",
-    salt_chunks: int | None = None,
+    salt_chunks: int | tuple | None = None,
     scn_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Typed-image net-effect fold (the fast path; see
@@ -101,10 +101,35 @@ def net_effect_typed(
     The overlay fold is associative over scn-ordered segments, which is
     what makes the two-phase split exact (pinned by
     tests/test_salted_fold.py against the single-pass fold row-for-row).
+
+    ``salt_chunks`` accepts either an int (every key goes two-phase — the
+    round-5 plan) or ``(chunks, hot_keys)`` (round-6, guide §2.5 "split the
+    hot keys"): only rows of the listed hot keys take the two-phase fold;
+    the rest — the overwhelming bulk of the payload — folds single-phase
+    and is shuffled exactly once. The all-keys plan shuffled the ENTIRE
+    payload twice (events, then per-(key, chunk) partial images — measured
+    644 MB + 813 MB at bench scale) to protect against a handful of keys.
+    The split is exact because the fold is per-key and each key takes
+    exactly one of the two disjoint paths.
     """
     if salt_chunks is not None:
+        hot_keys = None
+        if isinstance(salt_chunks, tuple):
+            salt_chunks, hot_keys = salt_chunks
+        if hot_keys:
+            is_hot = F.col("key").isin(list(hot_keys))
+            hot_parts = salted_partials(
+                parsed.filter(is_hot), fields, key_col, salt_chunks, scn_bounds
+            )
+            hot_net = combine_partials(hot_parts, fields, key_col)
+            rest_net = _single_phase_fold(parsed.filter(~is_hot), fields, key_col)
+            return rest_net.unionByName(hot_net)
         parts = salted_partials(parsed, fields, key_col, salt_chunks, scn_bounds)
         return combine_partials(parts, fields, key_col)
+    return _single_phase_fold(parsed, fields, key_col)
+
+
+def _single_phase_fold(parsed: DataFrame, fields, key_col: str) -> DataFrame:
     keyed = parsed.filter(F.col("key").isNotNull())
     evs = F.array_sort(
         F.collect_list(F.struct("commit_scn", "scn", "row_id", "op_code", "img", "set_cols"))

@@ -98,3 +98,66 @@ def test_salted_replay_end_to_end(spark, tmpdir_path):
             if (pd.isna(x) != pd.isna(y)) or (not pd.isna(x) and x != y)
         ]
         assert not mism, f"{c}: {mism[:2]}"
+
+
+def test_hybrid_hot_key_fold_identical_to_plain(spark):
+    """Round-6 hybrid (guide §2.5): two-phase fold for listed hot keys
+    only, single-phase for the rest — must equal the single-pass fold row
+    for row, with hot keys actually taking the salted path."""
+    gen = CdcGenerator(HOT_CFG)
+    events = gen.events_df(spark)
+    committed = consolidate(events, [("CRAWL", "PAGES")])
+    parsed = parse_committed_typed(committed, PAGES_SCHEMA).filter(
+        F.col("parse_error").isNull()
+    )
+    lo, hi = SCN0, SCN0 + HOT_CFG.n_txns * 8 + 64
+    hot_url = "https://site0.example.com/p/0"  # hot_urls=1 -> url_id 0
+
+    plain = build_merge_source_typed(parsed, PAGES_SCHEMA)
+    hybrid = build_merge_source_typed(
+        parsed, PAGES_SCHEMA, salt_chunks=(8, [hot_url]), scn_bounds=(lo, hi)
+    )
+    cols = ["url", "warc_ts", "lang", "__op"]
+    a = (
+        plain.select(*cols, F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        hybrid.select(*cols, F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_auto_probe_returns_hot_key_list(spark):
+    """The auto probe on a hot workload returns (chunks, [hot keys...])
+    containing the hot url; on a uniform workload it returns None."""
+    import tempfile
+
+    from logminer_kafka_connect_spark.sources.generator import CdcGenerator
+
+    # share must clear max(AUTO_SALT_SHARE, 1.25/P) — P=4 in the test
+    # session, so the hot key needs > ~31% of sampled UPDATE/DELETE rows
+    hot_gen = CdcGenerator(
+        GeneratorConfig(seed=3, n_txns=9000, n_urls=12000, n_snapshot=0,
+                        hot_urls=1, hot_frac=0.5, avg_changes=4.0,
+                        html_paragraphs=1)
+    )
+    d = tempfile.mkdtemp(prefix="lmkc-probe-")
+    hot_gen.events_df(spark).write.mode("overwrite").parquet(f"{d}/ev")
+    engine = CdcEngine(spark, f"{d}/wd", n_buckets=4)
+    events = spark.read.parquet(f"{d}/ev")
+    got = engine.driver._resolve_salt_chunks(events, None, None, "url")
+    assert isinstance(got, tuple) and got[0] >= 1
+    assert "https://site0.example.com/p/0" in got[1]
+
+    uni_gen = CdcGenerator(
+        GeneratorConfig(seed=4, n_txns=9000, n_urls=12000, n_snapshot=0,
+                        hot_urls=1, hot_frac=0.0, avg_changes=4.0,
+                        html_paragraphs=1)
+    )
+    uni_gen.events_df(spark).write.mode("overwrite").parquet(f"{d}/ev2")
+    got2 = engine.driver._resolve_salt_chunks(
+        spark.read.parquet(f"{d}/ev2"), None, None, "url"
+    )
+    assert got2 is None
