@@ -1745,7 +1745,7 @@ def cdc_replay(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="lmkc-entry-")
     engine = CdcEngine(spark, workdir, n_buckets=16)
     engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
-    engine.replay(gen.events_df(spark), n_batches=4)
+    engine.replay(gen.events_df(spark).localCheckpoint(eager=True), n_batches=4)
     state = engine.state()
     return state.select(
         "url",
@@ -1786,7 +1786,7 @@ def cdc_mor_replay(spark, sf_dir):
         workdir = tempfile.mkdtemp(prefix=f"lmkc-{mode}-")
         engine = CdcEngine(spark, workdir, n_buckets=16, merge_mode=mode)
         engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
-        engine.replay(gen.events_df(spark), n_batches=3)
+        engine.replay(gen.events_df(spark).localCheckpoint(eager=True), n_batches=3)
         engines[mode] = engine
         states[mode] = sorted(
             (r.url, r.lang, None if r.text is None else r.text)
@@ -2210,7 +2210,7 @@ def cdc_table_changes(spark, sf_dir):
     workdir = tempfile.mkdtemp(prefix="lmkc-entry-chg-")
     engine = CdcEngine(spark, workdir, n_buckets=16)
     engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
-    engine.replay(gen.events_df(spark), n_batches=2)
+    engine.replay(gen.events_df(spark).localCheckpoint(eager=True), n_batches=2)
     v = engine.table.current_version()
     ch = engine.table.read_changes(spark, v - 1, v)
     out = ch.select(
@@ -2307,7 +2307,7 @@ def cdc_replay_multi(spark, sf_dir):
         n_buckets=8,
     )
     engine.load_snapshot("PAGES", gen.snapshot_df(spark), SCN0 - 1)
-    engine.replay(gen.events_df(spark), n_batches=3)
+    engine.replay(gen.events_df(spark).localCheckpoint(eager=True), n_batches=3)
     pages = engine.state("PAGES").select(
         F.lit("PAGES").alias("table"),
         F.col("url").alias("key"),
@@ -2332,7 +2332,7 @@ def cdc_envelope(spark, sf_dir):
     from logminer_kafka_connect_spark.sources.generator import CdcGenerator, GeneratorConfig
 
     gen = CdcGenerator(GeneratorConfig(seed=42, n_txns=120, n_urls=200, n_snapshot=0))
-    committed = consolidate(gen.events_df(spark), [("CRAWL", "PAGES")])
+    committed = consolidate(gen.events_df(spark).localCheckpoint(eager=True), [("CRAWL", "PAGES")])
     parsed = parse_committed(committed).filter(F.col("parse_error").isNull())
     env = to_envelope(parsed, PAGES_SCHEMA, tombstones=True)
     return env.select(
@@ -3117,7 +3117,7 @@ def cdc_audit_gate(spark, sf_dir):
     engine = CdcEngine(spark, f"{workdir}/gated", n_buckets=16, audit_hook=hook)
     engine.load_snapshot(gen.snapshot_df(spark), snapshot_scn=SCN0 - 1)
     v_snap = engine.table.current_version()
-    events = gen.events_df(spark)
+    events = gen.events_df(spark).localCheckpoint(eager=True)
     try:
         engine.replay(events, n_batches=4)
         raise AssertionError("rejecting hook did not abort the replay")
@@ -3270,3 +3270,31 @@ def a14_retention_cohorts(spark, sf_dir):
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Registration order (r5 VERDICT Next #1a): the driver's correctness pass
+# runs entries in QUERIES insertion order and the r5 pass timed out at the
+# first 50, leaving every entry registered after that with no correctness
+# row — including the flagship cdc_* family. Re-insert the never-checked
+# entries FIRST so a budget-bounded pass covers them before the long-green
+# remainder. Pure reordering: same names, same callables, same oracles.
+# --------------------------------------------------------------------------
+_PRIORITY_FIRST = [
+    "cdc_replay", "cdc_mor_replay", "cdc_point_lookup",
+    "cdc_rollback_recovery", "cdc_schema_evolution", "cdc_bloom_lookup",
+    "cdc_pruned_read", "cdc_table_changes", "cdc_replay_multi",
+    "cdc_envelope", "cdc_wap_publish", "cdc_audit_gate",
+    "st_exactly_once_dedup", "st_latest_per_key",
+    "r01_bm25_topk", "g01_pagerank", "t29_tfidf_keywords",
+    "t30_boilerplate_ngrams", "t31_word_entropy", "t32_weighted_sample",
+    "t33_bpe_train", "t34_classifier_gate", "a13_funnel_steps",
+    "a14_retention_cohorts", "d24_semdedup", "d26_containment",
+    "c13_curation_pipeline", "d22_bloom_novelty", "mm_jpeg_decode",
+    "n21_pq_topk", "ann_lsh_bucketed", "ann_recall", "d18_lsh_near_dups",
+    "mm_media_features", "mm_png_decode", "mm_wav_decode",
+]
+QUERIES = {
+    **{n: QUERIES[n] for n in _PRIORITY_FIRST if n in QUERIES},
+    **QUERIES,
+}

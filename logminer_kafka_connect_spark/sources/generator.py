@@ -75,7 +75,12 @@ def _esc(s: str) -> str:
 
 
 def _fmt_ts(dt: datetime) -> str:
-    return dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    # byte-identical to strftime("%Y-%m-%d %H:%M:%S.%f") for the generator's
+    # year range, ~5x faster at event-generation call volume
+    return (
+        f"{dt.year}-{dt.month:02d}-{dt.day:02d} "
+        f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{dt.microsecond:06d}"
+    )
 
 
 @dataclass
