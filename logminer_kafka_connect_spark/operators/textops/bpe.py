@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logminer_kafka_connect_spark.operators.textops import ensure_compute_parallelism
 from logminer_kafka_connect_spark.operators.textops.dedup import words_expr
 
 #: end-of-word marker (keeps merges from crossing word boundaries when a
@@ -39,7 +40,8 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq, toks) — the relation the merge loop iterates on.
     ``toks`` starts as characters + the end-of-word marker."""
     return (
-        df.select(F.explode(words_expr(text_col)).alias("word"))
+        ensure_compute_parallelism(df)
+        .select(F.explode(words_expr(text_col)).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logminer_kafka_connect_spark.operators.textops import ensure_compute_parallelism
 from logminer_kafka_connect_spark.operators.textops.dedup import shingles_expr
 
 
@@ -41,7 +42,7 @@ def decontaminate(
         evalset.select(F.explode(shingles_expr(text_col, k)).alias("shingle"))
         .distinct()
     )
-    train_sh = train.select(
+    train_sh = ensure_compute_parallelism(train).select(
         F.col(id_col),
         F.explode(shingles_expr(text_col, k)).alias("shingle"),
         F.size(shingles_expr(text_col, k)).alias("n_shingles"),

@@ -28,6 +28,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logminer_kafka_connect_spark.operators.textops import ensure_compute_parallelism
+
 
 def words_expr(text_col: str):
     return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -60,6 +62,10 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    # the explode + per-shingle md5 downstream is the suite's heaviest
+    # per-row compute — never let a single unsplittable input file
+    # serialize it (no-op on well-split inputs)
+    df = ensure_compute_parallelism(df)
     return df.select(
         F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("shingle")
     )
@@ -275,7 +281,9 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     Bit j is set when the sum over word occurrences of ±1 (nibble j of
     md5(word) >= 8) is positive. Identical signatures bucket near-dups.
     """
-    w = df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
+    w = ensure_compute_parallelism(df).select(
+        F.col(id_col), F.explode(words_expr(text_col)).alias("word")
+    )
     h = w.withColumn("h", F.md5("word"))
     votes = [
         F.sum(
@@ -307,6 +315,7 @@ def embedding_near_dups(
         cosine_expr,
     )
 
+    emb = ensure_compute_parallelism(emb)
     a = with_norm(emb, id_col, vec_col).alias("a")
     b = with_norm(emb, id_col, vec_col).alias("b")
     return (

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from logminer_kafka_connect_spark.operators.textops import ensure_compute_parallelism
 from pyspark.sql.window import Window
 
 from logminer_kafka_connect_spark.operators.textops.dedup import shingles_expr, words_expr
@@ -295,7 +297,7 @@ def boilerplate_ngrams(
 
     min_docs = max(2, math.ceil(min_doc_frac * n_docs))
     w = words_expr(text_col)
-    grams = df.filter(F.size(w) >= k).select(
+    grams = ensure_compute_parallelism(df).filter(F.size(w) >= k).select(
         F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("gram")
     )
     return (
@@ -317,7 +319,8 @@ def word_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     id, and AQE coalesces them at scale. Rounded to 4 decimals on both
     engines to absorb float summation order."""
     counts = (
-        df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
+        ensure_compute_parallelism(df)
+        .select(F.col(id_col), F.explode(words_expr(text_col)).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )

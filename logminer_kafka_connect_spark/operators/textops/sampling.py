@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logminer_kafka_connect_spark.operators.textops import ensure_compute_parallelism
 from logminer_kafka_connect_spark.operators.textops.dedup import words_expr
 
 _HASH_SPACE = 1 << 32  # first 8 md5 hex chars -> uniform in [0, 2^32)
@@ -128,6 +129,10 @@ def repetition_stats(
     """
     lines = F.split(F.col(text_col), "\n")
     words = words_expr(text_col)
+    # repetition arrays + n-gram explodes are per-row heavy: guard against
+    # a single-split input serializing them (no-op on well-split inputs);
+    # the hash-sampling/split operators above stay narrow by design
+    df = ensure_compute_parallelism(df)
     base = df.select(
         F.col(id_col),
         F.size(lines).alias("n_lines"),

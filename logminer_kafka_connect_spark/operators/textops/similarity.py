@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from logminer_kafka_connect_spark.operators.textops import ensure_compute_parallelism
+
 
 def with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     norm = F.sqrt(
@@ -59,7 +61,7 @@ def cosine_topk(
     ranked with one window per query id.
     """
     q = with_norm(queries, id_col, vec_col).alias("q")
-    c = with_norm(emb, id_col, vec_col).alias("c")
+    c = with_norm(ensure_compute_parallelism(emb), id_col, vec_col).alias("c")
     scored = (
         c.join(F.broadcast(q), F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
         .withColumn("cosine", F.round(cosine_expr("q", "c", vec_col), 6))
@@ -112,7 +114,9 @@ def bucket_signatures(
             out.append([int(buckets[t, b]) for t in range(n_tables)])
         return pd.Series(out)
 
-    sig = emb.select(F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("sigs"))
+    sig = ensure_compute_parallelism(emb).select(
+        F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("sigs")
+    )
     return sig.select(
         id_col,
         vec_col,
@@ -183,7 +187,7 @@ def assign_ivf_clusters(
         F.col(vec_col).alias("cv"),
         F.col("_norm").alias("cnorm"),
     )
-    v = with_norm(emb, id_col, vec_col)
+    v = with_norm(ensure_compute_parallelism(emb), id_col, vec_col)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), F.col("cv"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),

@@ -167,3 +167,63 @@ def test_pagerank_dangling_mass_and_distribution(spark):
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     # the sink outranks its sole feeder chain start
     assert got[2] > got[3]
+
+
+def test_pagerank_loop_plan_single_edge_exchange(spark):
+    """r6 optimization pin (r5 VERDICT Next #3): with the edge relation
+    hash-partitioned by the join key and pinned via persist(), one power-
+    iteration step never reshuffles the (big) edge side — the plan has no
+    Exchange whose input carries the edge payload (node + dst). The only
+    payload-bearing shuffle allowed is the groupBy of the already-projected
+    contributions."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 61).alias("dst")
+    )
+    e = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("dst"))
+        .repartition("node")
+        .persist()
+    )
+    e.count()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = (
+        nodes.join(deg, "node", "left")
+        .select("node", "out_deg", F.lit(0.01).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    contrib = (
+        ranks.filter(F.col("out_deg").isNotNull())
+        .join(e, "node")
+        .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    step = ranks.select("node", "out_deg").join(contrib, "node", "left")
+    plan = step._sc._jvm.PythonSQLUtils.explainString(
+        step._jdf.queryExecution(), "formatted"
+    )
+    e.unpersist()
+    # the edge relation must come from the in-memory (pre-partitioned) scan
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan, plan
+    # no shuffle may carry the edge payload: an Exchange re-partitioning the
+    # edge side would list both the join key and dst in its Input
+    import re as _re
+
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and ") Exchange" in block.split("\n")[0]:
+            inp = next((l for l in block.split("\n") if l.startswith("Input")), "")
+            args = next((l for l in block.split("\n") if l.startswith("Arguments")), "")
+            # the one-time REPARTITION_BY_COL inside the cached InMemoryRelation
+            # is the pre-partitioning itself; what must NOT appear is a
+            # planner-inserted (ENSURE_REQUIREMENTS) shuffle of the edge rows
+            if "ENSURE_REQUIREMENTS" in args:
+                assert not ("dst#" in inp and "node#" in inp), f"edge side reshuffled:\n{block}"
