@@ -2532,16 +2532,25 @@ def st_latest_per_key(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
     src = tempfile.mkdtemp(prefix="lmkc-stateful-src-")
     ev.repartition(8, F.col("event_id")).write.mode("overwrite").parquet(src)
-    emissions = run_compaction_to_memory(
-        spark,
-        src,
-        ev.schema,
-        key_cols=["user_id"],
-        order_col="event_id",
-        payload_cols=["user_id", "event_id", "event_type", "value"],
-        max_files_per_trigger=1,
-        query_name=f"lmkc_compact_{uuid.uuid4().hex[:8]}",
-    )
+    # state-store instances = shuffle partitions at stream start; size them
+    # to the 8-file fixture (each of the 8 triggers otherwise checkpoints
+    # 32 state partitions — pure per-trigger overhead at this scale; a
+    # production stream sizes this to its own key volume via session conf)
+    _prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        emissions = run_compaction_to_memory(
+            spark,
+            src,
+            ev.schema,
+            key_cols=["user_id"],
+            order_col="event_id",
+            payload_cols=["user_id", "event_id", "event_type", "value"],
+            max_files_per_trigger=1,
+            query_name=f"lmkc_compact_{uuid.uuid4().hex[:8]}",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _prev)
     w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
     return (
         emissions.withColumn("rn", F.row_number().over(w))
@@ -2604,14 +2613,20 @@ def st_exactly_once_dedup(spark, sf_dir):
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
     deduped = dedup_within_watermark(stream, ["event_id"], "ts", "365 days")
     name = f"lmkc_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # see st_latest_per_key: state partitions sized to the 8-file fixture
+    _prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _prev)
     out = spark.table(name)
     if out.count() != n_distinct or out.select("event_id").distinct().count() != n_distinct:
         raise AssertionError("deduped stream does not carry each event exactly once")
