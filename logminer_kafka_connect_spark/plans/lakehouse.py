@@ -1664,8 +1664,9 @@ class SnapshotTable:
     }
 
     def alter_column_type(self, name: str, new_type: T.DataType) -> int:
-        """Metadata-only type WIDENING (Iceberg type promotion): int->long,
-        float->double, date->timestamp, ... Existing files keep their
+        """Metadata-only type WIDENING (Iceberg type promotion) among the
+        pairs in ``_TYPE_PROMOTIONS``: int->long, float->double,
+        byte/short upcasts, int->double. Existing files keep their
         narrower physical type; ``_read_paths`` already casts every
         physical column to the manifest type, so old and new files read
         back uniformly widened. Narrowing/lossy changes are refused — they
@@ -1831,7 +1832,13 @@ class SnapshotTable:
                 m = b.metadata()
             except Exception:
                 continue
-            first = b.metadata(0) if m["version"] else m
+            try:
+                first = b.metadata(0) if m["version"] else m
+            except Exception:
+                # a long-lived branch that ran its own expire_snapshots may
+                # have aged out its v0 fork manifest; degrade to unknowns
+                # instead of failing the whole listing (r5 ADVICE)
+                first = {}
             out.append(
                 {
                     "name": name,
@@ -1888,6 +1895,15 @@ class SnapshotTable:
         bpath = self._branch_path(name)
         if not SnapshotTable(bpath, fs=self.fs).exists():
             raise ValueError(f"no such branch: {name}")
+        # A branch is "published" when main may reference files under its
+        # subtree. The published_from marker alone is NOT sufficient
+        # evidence of the converse: a crash between publish_branch and
+        # drop_branch followed by expire_snapshots can age the marker
+        # manifest out while LATER retained main manifests still reference
+        # staged data dirs under the branch for untouched buckets (r5
+        # ADVICE medium). So also treat the branch as published when ANY
+        # retained main manifest references a data path under its subtree.
+        prefix = bpath.rstrip("/") + "/"
         published = False
         for fname in self.fs.listdir(self._meta_dir):
             mm = _VERSION_RE.match(fname)
@@ -1897,7 +1913,9 @@ class SnapshotTable:
                 m = self.metadata(int(mm.group(1)))
             except Exception:
                 continue
-            if m.get("published_from") == bpath:
+            if m.get("published_from") == bpath or any(
+                p.startswith(prefix) for p in _all_data_paths(m)
+            ):
                 published = True
                 break
         if published:

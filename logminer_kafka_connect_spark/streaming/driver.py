@@ -26,6 +26,7 @@ Two front-ends share ``process_range``:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import time
@@ -314,7 +315,15 @@ class ReplayDriver:
         Shared by the single-table and multi-table drivers."""
         scn_hi = scn_bounds[1] if scn_bounds is not None else None
         if self.audit_hook is not None:
-            branch_name = "audit-" + _BRANCH_SAFE_RE.sub("-", batch_id)[-48:]
+            # injective name: two batch ids sharing a sanitized 40-char
+            # suffix must not collide (the pre-stage cleanup drop would
+            # reclaim another batch's crash-leftover branch; r5 ADVICE)
+            branch_name = (
+                "audit-"
+                + _BRANCH_SAFE_RE.sub("-", batch_id)[-40:]
+                + "-"
+                + hashlib.md5(batch_id.encode()).hexdigest()[:8]
+            )
             if table.is_applied(batch_id, scn_hi=scn_hi):
                 try:
                     # a crash between publish_branch and drop_branch leaves

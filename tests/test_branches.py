@@ -196,3 +196,25 @@ def test_stale_branch_fails_loudly_after_parent_expiry(spark, tmpdir_path):
         br.read(spark).collect()
     # the parent itself is fine
     assert _state(spark, t) == [("a", 13), ("b", 23), ("c", 33)]
+
+
+def test_drop_branch_protects_data_after_marker_expiry(spark, tmpdir_path):
+    """r5 ADVICE (medium): a published branch whose publish-marker
+    manifest has been aged out by expire_snapshots must STILL be
+    classified as published on drop — later retained main manifests can
+    reference staged data dirs under the branch subtree for buckets no
+    subsequent merge rewrote. drop_branch must retain the data subtree
+    and main reads must stay whole."""
+    t = _mk(spark, tmpdir_path)
+    b = t.create_branch("audit")
+    b.merge(spark, _batch(spark, [("d", 9)]), batch_id="b1")
+    t.publish_branch("audit")  # marker manifest references branch files
+    # advance main several times WITHOUT touching d's bucket so the
+    # branch-staged file stays referenced by every later manifest
+    for i in range(4):
+        t.merge(spark, _batch(spark, [("a", 10 + i)]), batch_id=f"m{i}")
+    t.expire_snapshots(keep_last=2)  # the publish marker ages out
+    res = t.drop_branch("audit")
+    assert res["published"] and res["data_retained"], res
+    # main must still read the branch-staged row
+    assert ("d", 9) in _state(spark, t)

@@ -53,9 +53,11 @@ def test_auto_salt_activates_on_hot_key(spark, tmpdir_path):
     Missing #4) and the replayed state still matches the oracle."""
     from logminer_kafka_connect_spark.engine import CdcEngine
 
+    # round-6 trigger is parallelism-relative (share >= 1.25/P, P=4 in the
+    # test session): the hot key must exceed ~31% of sampled UPDATE/DELETEs
     cfg = GeneratorConfig(
         seed=31, n_txns=8000, n_urls=300, n_snapshot=0,
-        hot_urls=1, hot_frac=0.3, avg_changes=4.0,
+        hot_urls=1, hot_frac=0.5, avg_changes=4.0,
     )
     gen = CdcGenerator(cfg)
     engine = CdcEngine(spark, tmpdir_path, n_buckets=8)
@@ -65,7 +67,10 @@ def test_auto_salt_activates_on_hot_key(spark, tmpdir_path):
     drv = engine.driver
     assert drv.salt_chunks == "auto"
     resolved = drv._resolve_salt_chunks(events, None, None, "url")
-    assert resolved is not None and resolved > 1
+    # round 6: (chunks, hot_key_list) — only listed keys take the two-phase
+    # fold (guide §2.5); the hot url must be in the list
+    assert resolved is not None and resolved[0] > 1
+    assert any(u.endswith("/p/0") for u in resolved[1])
 
     stats = engine.replay(events, n_batches=2)
     assert stats.n_parse_errors == 0
