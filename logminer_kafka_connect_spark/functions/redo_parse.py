@@ -485,7 +485,14 @@ def make_parse_udf(db_timezone: str = "UTC"):
         parsed = [_parse_one(s, db_timezone) for s in sql_redo]
         return pd.DataFrame(parsed, columns=["before", "after", "parse_error"])
 
-    return parse_udf
+    # Non-deterministic marking (guide §4.4): downstream filters reference
+    # parse output (parse_error IS NULL, key IS NOT NULL); pushing such a
+    # filter below the consolidation joins duplicates the ArrowEvalPython
+    # node — every row pays the parse twice (and the pushed copy runs
+    # before the commit inner join, parsing uncommitted rows too). The
+    # parse is pure, so the only effect of the marking is to pin a single
+    # evaluation where the program put it.
+    return parse_udf.asNondeterministic()
 
 
 parse_redo_udf = make_parse_udf()
@@ -526,28 +533,11 @@ def set_cols_expr(img: Column) -> Column:
 # picks up added/renamed columns automatically.
 
 
-def make_typed_parse_udf(
-    fields, key_col: str = "url", db_timezone: str = "UTC", lineage_acc=None
-):
-    """Build the typed parse UDF for the given table schema fields.
-
-    Returns ``(udf, output_type)`` where output is
-    ``struct<key:string, img:struct<...table cols...>, set_cols:array<string>,
-    parse_error:string>`` — img columns are binary for BinaryType fields,
-    normalized strings otherwise.
-
-    ``lineage_acc`` (optional): a dict accumulator from
-    ``operators.apply.make_lineage_accumulator``. When set, the UDF takes a
-    third ``scn`` column and records per-partition (scn_min, scn_max,
-    n_rows) as a side effect of the parse pass itself — A7 lineage with
-    **zero extra jobs** (the r3 design ran a second narrow job over
-    ``committed`` that re-executed the consolidation joins, ~8s/batch at
-    bench scale). Entries are keyed ``(partition_id, task_attempt_id)`` so
-    retried/speculated/recomputed tasks never double-count: batches within
-    one attempt sum, and the reader keeps each partition's max-count
-    attempt (a partial failed attempt undercounts; every complete attempt
-    reports the identical full value).
-    """
+def make_row_parser(fields, key_col: str = "url", db_timezone: str = "UTC"):
+    """Shared statement-level parser for the typed paths: returns
+    ``(_one, out_type)`` where ``_one(sql, op_code) -> (key, img_dict,
+    set_cols, parse_error)`` and ``out_type`` is the
+    ``struct<key, img, set_cols, parse_error>`` Arrow-side schema."""
     from logminer_kafka_connect_spark.sources.events import OP_INSERT
 
     col_names = [f.name for f in fields]
@@ -606,6 +596,33 @@ def make_typed_parse_udf(
         except Exception as e:
             return None, None, None, f"{type(e).__name__}: {e}"
 
+    return _one, out_type
+
+
+def make_typed_parse_udf(
+    fields, key_col: str = "url", db_timezone: str = "UTC", lineage_acc=None
+):
+    """Build the typed parse UDF for the given table schema fields.
+
+    Returns ``(udf, output_type)`` where output is
+    ``struct<key:string, img:struct<...table cols...>, set_cols:array<string>,
+    parse_error:string>`` — img columns are binary for BinaryType fields,
+    normalized strings otherwise.
+
+    ``lineage_acc`` (optional): a dict accumulator from
+    ``operators.apply.make_lineage_accumulator``. When set, the UDF takes a
+    third ``scn`` column and records per-partition (scn_min, scn_max,
+    n_rows) as a side effect of the parse pass itself — A7 lineage with
+    **zero extra jobs** (the r3 design ran a second narrow job over
+    ``committed`` that re-executed the consolidation joins, ~8s/batch at
+    bench scale). Entries are keyed ``(partition_id, task_attempt_id)`` so
+    retried/speculated/recomputed tasks never double-count: batches within
+    one attempt sum, and the reader keeps each partition's max-count
+    attempt (a partial failed attempt undercounts; every complete attempt
+    reports the identical full value).
+    """
+    _one, out_type = make_row_parser(fields, key_col, db_timezone)
+
     if lineage_acc is None:
 
         @F.pandas_udf(out_type)
@@ -635,4 +652,162 @@ def make_typed_parse_udf(
             rows = [_one(s, int(o)) for s, o in zip(sql_redo, op_code)]
             return pd.DataFrame(rows, columns=["key", "img", "set_cols", "parse_error"])
 
-    return typed_parse_udf, out_type
+    # Guide §4.4: the fold filters on parse output (key IS NOT NULL /
+    # parse_error IS NULL / hot-key routing); a deterministic UDF lets the
+    # optimizer push those filters below the marker joins and DUPLICATE the
+    # ArrowEvalPython node — measured as a second full parse of every
+    # change row (including not-yet-committed ones) in the replay plan.
+    # The parse is pure; marking it non-deterministic only pins a single
+    # evaluation. For the lineage variant this is also a correctness
+    # guard: a duplicated UDF would double-add the per-partition
+    # accumulator within one attempt.
+    return typed_parse_udf.asNondeterministic(), out_type
+
+
+class CsfContiguityError(ValueError):
+    """The fused reassembly's source contract was violated: chunks of a
+    CSF group were not consecutive rows of one scan partition. The driver
+    catches this (it surfaces as the Spark job failure wrapping the task's
+    Python exception) and re-runs the batch through the exchange-based
+    ``reassemble_csf`` path, which makes no contiguity assumption."""
+
+
+def make_fused_reassemble_parse_fn(
+    fields,
+    key_col: str = "url",
+    db_timezone: str = "UTC",
+    keep_sql: bool = False,
+    lineage_acc=None,
+):
+    """P1+P2/P3 fused: per-partition CSF reassembly + typed parse in ONE
+    ``mapInPandas`` pass (guide §8 "move heavy bytes once" + §4 "one
+    boundary crossing").
+
+    The exchange-based ``reassemble_csf`` hashes every chunked statement's
+    full text across the cluster just to group chunks that are ALREADY
+    ADJACENT in the source (LogMiner emits CSF continuation rows
+    consecutively — the reference reassembles by concatenating consecutive
+    fetch rows, ``LogminerFetcher.kt:144-153``). At bench scale that
+    exchange carried 644 MB (shuffle write + read + a second sort/agg
+    pass) per batch. Here chunks are concatenated inside the scan task:
+    the statement text crosses the JVM->Python boundary exactly once — the
+    same crossing the parse already paid — and the only remaining payload
+    exchange is the net-effect fold's.
+
+    Contract (checked row-for-row, vectorized): within a partition each
+    CSF group appears as a consecutive run — ``seq`` = 0..k with ``csf``
+    true on all but the last chunk. Arrow batch boundaries inside a task
+    are healed with a carry buffer; a violation raises
+    ``CsfContiguityError`` and the caller falls back to the exchange path
+    (same results by construction; the fused path never guesses).
+
+    Returns ``(fn, out_schema)`` for
+    ``df.select(cols).mapInPandas(fn, out_schema)`` where ``df`` is the
+    *pre-reassembly* committed chunk stream (post marker joins, which are
+    broadcast and preserve partition-local row order).
+    """
+    import numpy as np
+
+    _one, parse_type = make_row_parser(fields, key_col, db_timezone)
+
+    out_fields = [
+        T.StructField("xid", T.StringType(), True),
+        T.StructField("scn", T.LongType(), True),
+        T.StructField("row_id", T.StringType(), True),
+        T.StructField("commit_scn", T.LongType(), True),
+        T.StructField("op_code", T.IntegerType(), True),
+    ]
+    if keep_sql:
+        out_fields.append(T.StructField("sql_redo", T.StringType(), True))
+    out_fields += list(parse_type.fields)
+    out_schema = T.StructType(out_fields)
+
+    def _process(pdf: pd.DataFrame) -> pd.DataFrame:
+        seq = pdf["seq"].to_numpy()
+        csf = pdf["csf"].to_numpy()
+        n = len(pdf)
+        starts = np.flatnonzero(seq == 0)
+        if len(starts) == 0 or starts[0] != 0:
+            raise CsfContiguityError(
+                f"partition begins mid-CSF-group (first seq={int(seq[0])}, "
+                f"scn={int(pdf['scn'].iloc[0])})"
+            )
+        lens = np.diff(starts, append=n)
+        pos = np.arange(n) - np.repeat(starts, lens)
+        if not np.array_equal(pos, seq):
+            bad = int(np.flatnonzero(pos != seq)[0])
+            raise CsfContiguityError(
+                f"non-consecutive CSF seq at scn={int(pdf['scn'].iloc[bad])}: "
+                f"expected {int(pos[bad])}, saw {int(seq[bad])}"
+            )
+        ends = np.append(starts[1:] - 1, n - 1)
+        exp_csf = np.ones(n, dtype=bool)
+        exp_csf[ends] = False
+        if not np.array_equal(csf, exp_csf):
+            bad = int(np.flatnonzero(csf != exp_csf)[0])
+            raise CsfContiguityError(
+                f"csf flag does not match run structure at "
+                f"scn={int(pdf['scn'].iloc[bad])}"
+            )
+        sqls = pdf["sql_redo"].tolist()
+        stmts = [
+            sqls[s] if l == 1 else "".join(sqls[s : s + l])
+            for s, l in zip(starts, lens)
+        ]
+        head = pdf.iloc[starts]
+        ops = head["op_code"].to_numpy()
+        rows = [_one(s, int(o)) for s, o in zip(stmts, ops)]
+        out = {
+            "xid": head["xid"].to_numpy(),
+            "scn": head["scn"].to_numpy(),
+            "row_id": head["row_id"].to_numpy(),
+            "commit_scn": head["commit_scn"].to_numpy(),
+            "op_code": ops,
+        }
+        if keep_sql:
+            out["sql_redo"] = stmts
+        for i, c in enumerate(("key", "img", "set_cols", "parse_error")):
+            out[c] = pd.Series([r[i] for r in rows], dtype="object")
+        if lineage_acc is not None:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            if tc is not None and len(head):
+                scns = out["scn"]
+                lineage_acc.add(
+                    {
+                        (tc.partitionId(), tc.taskAttemptId()): (
+                            int(scns.min()),
+                            int(scns.max()),
+                            int(len(scns)),
+                        )
+                    }
+                )
+        return pd.DataFrame(out)
+
+    def fused(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            csf = pdf["csf"].to_numpy()
+            term = np.flatnonzero(~csf)
+            if len(term) == 0 or term[-1] != len(pdf) - 1:
+                # batch ends inside a group: carry the open tail into the
+                # next Arrow batch of the same task
+                cut = int(term[-1]) + 1 if len(term) else 0
+                carry = pdf.iloc[cut:]
+                pdf = pdf.iloc[:cut]
+                if not len(pdf):
+                    continue
+            yield _process(pdf)
+        if carry is not None and len(carry):
+            raise CsfContiguityError(
+                f"unterminated CSF group at partition end "
+                f"(scn={int(carry['scn'].iloc[0])}, {len(carry)} dangling chunks)"
+            )
+
+    return fused, out_schema

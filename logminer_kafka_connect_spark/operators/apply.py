@@ -149,6 +149,7 @@ def parse_committed_typed(
     db_timezone: str = "UTC",
     keep_sql: bool = False,
     lineage_acc=None,
+    raw_chunks: bool = False,
 ) -> DataFrame:
     """Typed fast path: parse + hex-decode binary columns + key extraction
     in one Arrow UDF built for the current schema (rebuilt per batch, so
@@ -156,8 +157,30 @@ def parse_committed_typed(
     ``sql_redo`` through (for the quarantine / dead-letter path — the
     reference never drops a record it could not convert,
     ``TransactionConsolidator.kt:79-89``). ``lineage_acc`` rides A7
-    per-partition stats on the same pass (redo_parse.make_typed_parse_udf)."""
+    per-partition stats on the same pass (redo_parse.make_typed_parse_udf).
+
+    ``raw_chunks=True`` takes the fused path: ``committed`` is the
+    PRE-reassembly chunk stream (``consolidate(..., reassemble=False)``)
+    and CSF reassembly happens inside the parse's own mapInPandas pass —
+    no reassembly Exchange, statement text crosses the Python boundary
+    exactly once (guide §8/§4; see
+    redo_parse.make_fused_reassemble_parse_fn for the contiguity contract
+    and the CsfContiguityError fallback)."""
     from logminer_kafka_connect_spark.functions.redo_parse import make_typed_parse_udf
+
+    if raw_chunks:
+        from logminer_kafka_connect_spark.functions.redo_parse import (
+            make_fused_reassemble_parse_fn,
+        )
+
+        fn, out_schema = make_fused_reassemble_parse_fn(
+            schema.fields, key_col, db_timezone,
+            keep_sql=keep_sql, lineage_acc=lineage_acc,
+        )
+        # explicit projection before the opaque pass (guide §4.2): ship
+        # only what the fused function reads
+        cols = ["xid", "scn", "row_id", "commit_scn", "op_code", "seq", "csf", "sql_redo"]
+        return committed.select(*cols).mapInPandas(fn, out_schema)
 
     udf, _ = make_typed_parse_udf(
         schema.fields, key_col, db_timezone, lineage_acc=lineage_acc

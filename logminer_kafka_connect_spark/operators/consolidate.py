@@ -86,6 +86,7 @@ def consolidate(
     commit_hi: int | None = None,
     change_lo: int | None = None,
     marker_count_hint: int | None = None,
+    reassemble: bool = True,
 ) -> DataFrame:
     """Changes of transactions *committed* in ``[commit_lo, commit_hi)``,
     reassembled, stamped with their ``commit_scn`` (J1), rollbacks excluded
@@ -98,7 +99,8 @@ def consolidate(
     if commit_hi is not None:
         markers = markers.filter(F.col("scn") < commit_hi)
     return consolidate_with_markers(
-        events, selectors, markers, commit_hi, change_lo, marker_count_hint
+        events, selectors, markers, commit_hi, change_lo, marker_count_hint,
+        reassemble=reassemble,
     )
 
 
@@ -109,6 +111,7 @@ def consolidate_with_markers(
     commit_hi: int | None = None,
     change_lo: int | None = None,
     marker_count_hint: int | None = None,
+    reassemble: bool = True,
 ) -> DataFrame:
     """Consolidate against an explicit marker set (streaming front-end:
     each trigger applies exactly the markers it delivered — exactly-once
@@ -136,7 +139,19 @@ def consolidate_with_markers(
         # re-scan is pruned to [watermark, commit_hi), exactly the
         # reference's resume-from-lowestChangeScn (LogminerFetcher.kt:32-41)
         changes = changes.filter(F.col("scn") >= change_lo)
-    changes = reassemble_csf(changes).drop("commit_scn_raw")
+    if reassemble:
+        changes = reassemble_csf(changes).drop("commit_scn_raw")
+    else:
+        # Fused-parse mode (operators.apply.parse_committed_typed
+        # raw_chunks=True): keep the chunk-level rows — reassembly happens
+        # inside the parse's own mapInPandas pass, so the chunked
+        # statements' text never crosses a reassembly Exchange. The
+        # broadcast marker joins below preserve partition-local row order
+        # (streaming probe side), which the fused pass relies on; the
+        # change-carried commit_scn column (null pre-commit) is dropped
+        # here exactly as reassemble_csf drops it, so the join's marker
+        # commit_scn is the one that survives.
+        changes = changes.drop("commit_scn")
 
     # J1: equi-join to the committed-xid set — broadcast the marker side
     # when it is genuinely small (bounded by txns committing in this batch,

@@ -114,8 +114,16 @@ def bucket_signatures(
             out.append([int(buckets[t, b]) for t in range(n_tables)])
         return pd.Series(out)
 
+    # Guide §4.4: downstream null-filters/explodes push below the
+    # parallelism repartition and DUPLICATE the ArrowEvalPython node —
+    # observed as sig_udf evaluated twice per side in the d18_lsh /
+    # ann_lsh_bucketed / ann_recall plans. The UDF is pure; the marking
+    # pins a single evaluation (after the repartition, where it spreads
+    # across cores).
     sig = ensure_compute_parallelism(emb).select(
-        F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("sigs")
+        F.col(id_col),
+        F.col(vec_col),
+        sig_udf.asNondeterministic()(F.col(vec_col)).alias("sigs"),
     )
     return sig.select(
         id_col,

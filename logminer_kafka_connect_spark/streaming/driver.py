@@ -130,6 +130,15 @@ class ReplayDriver:
         # touched the main table; nothing to roll back). See
         # ``_apply_to_table``.
         self.audit_hook = None
+        # Fused CSF reassembly (round 6, guide §8/§4): bulk-replay batches
+        # reassemble chunked statements inside the parse's own mapInPandas
+        # pass instead of through a full-text Exchange (644 MB/batch at
+        # bench scale). Relies on the redo-log source contract that a CSF
+        # group's chunks are consecutive rows (LogminerFetcher.kt:144-153);
+        # violated -> CsfContiguityError -> process_range retries the
+        # batch through the exchange path automatically. LMKC_FUSED=0
+        # disables (A/B knob).
+        self.fused_parse = os.environ.get("LMKC_FUSED", "1") != "0"
 
     # ------------------------------------------------------ auto salting
     #: single-key share of the sampled batch at which the salted fold kicks in
@@ -301,6 +310,7 @@ class ReplayDriver:
         scn_bounds: tuple[int, int] | None = None,
         quarantine_key: str | None = None,
         salt_chunks: int | tuple | None = None,
+        raw_chunks: bool = False,
     ) -> tuple[int, int, int, DataFrame | None]:
         """Parse -> (error routing) -> net-effect fold -> MERGE for one
         target table over its committed changes — wrapped, when
@@ -342,7 +352,7 @@ class ReplayDriver:
             res = self._apply_to_table_inner(
                 committed, batch_id, branch, key_col,
                 scn_bounds=scn_bounds, quarantine_key=quarantine_key,
-                salt_chunks=salt_chunks,
+                salt_chunks=salt_chunks, raw_chunks=raw_chunks,
             )
             if branch.current_version() == 0:  # nothing staged (empty batch)
                 table.drop_branch(branch_name)
@@ -358,7 +368,7 @@ class ReplayDriver:
         return self._apply_to_table_inner(
             committed, batch_id, table, key_col,
             scn_bounds=scn_bounds, quarantine_key=quarantine_key,
-            salt_chunks=salt_chunks,
+            salt_chunks=salt_chunks, raw_chunks=raw_chunks,
         )
 
     def _apply_to_table_inner(
@@ -370,6 +380,7 @@ class ReplayDriver:
         scn_bounds: tuple[int, int] | None = None,
         quarantine_key: str | None = None,
         salt_chunks: int | tuple | None = None,
+        raw_chunks: bool = False,
     ) -> tuple[int, int, int, DataFrame | None]:
         scn_hi = scn_bounds[1] if scn_bounds is not None else None
         if table.is_applied(batch_id, scn_hi=scn_hi):
@@ -385,6 +396,7 @@ class ReplayDriver:
             committed, schema, key_col=key_col,
             db_timezone=self.db_timezone,
             keep_sql=self.track_parse_errors or self.track_partition_lineage,
+            raw_chunks=raw_chunks,
         )
         if self.track_parse_errors or self.track_partition_lineage:
             # Optimistic single-pass tracked mode. The r2 design persisted
@@ -420,7 +432,7 @@ class ReplayDriver:
             narrow = parse_committed_typed(
                 committed, schema, key_col=key_col,
                 db_timezone=self.db_timezone, keep_sql=False,
-                lineage_acc=lineage_acc,
+                lineage_acc=lineage_acc, raw_chunks=raw_chunks,
             ).observe(err_obs, F.count(F.col("parse_error")).alias("n_err"))
             source = build_merge_source_typed(
                 narrow.filter(ok), schema, key_col=key_col,
@@ -457,6 +469,7 @@ class ReplayDriver:
                 parsed = parse_committed_typed(
                     committed, schema, key_col=key_col,
                     db_timezone=self.db_timezone, keep_sql=True,
+                    raw_chunks=raw_chunks,
                 ).persist()
                 n_parse_errors = parsed.filter(
                     F.col("parse_error").isNotNull()
@@ -509,6 +522,7 @@ class ReplayDriver:
             failing = parse_committed_typed(
                 committed, schema, key_col=key_col,
                 db_timezone=self.db_timezone, keep_sql=True,
+                raw_chunks=raw_chunks,
             ).filter(F.col("parse_error").isNotNull())
             n_quarantined = self._quarantine(failing, quarantine_key or batch_id)
         return stats.source_rows, n_parse_errors, n_quarantined, part_df
@@ -530,6 +544,7 @@ class ReplayDriver:
         committed = consolidate(
             events, self.selectors, lo, hi, change_lo=change_lo,
             marker_count_hint=marker_count_hint,
+            reassemble=not self.fused_parse,
         )
         salt = (
             self._resolve_salt_chunks(events, hi, change_lo, self.key_col)
@@ -552,10 +567,27 @@ class ReplayDriver:
                 open_txn_watermark, events, self.selectors, hi, change_lo=change_lo
             )
             _pool.shutdown(wait=False)
-        n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
-            committed, batch_id, self.table, self.key_col, scn_bounds=(lo, hi),
-            salt_chunks=salt,
-        )
+        try:
+            n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
+                committed, batch_id, self.table, self.key_col, scn_bounds=(lo, hi),
+                salt_chunks=salt, raw_chunks=self.fused_parse,
+            )
+        except Exception as e:
+            # Fused-reassembly contract violation (chunks not partition-
+            # contiguous in this source): fall back to the exchange-based
+            # reassembly for this batch. Nothing was committed (the MERGE
+            # manifest swap is atomic and the parse failed before it), so
+            # the retry recomputes from scratch under the same batch id.
+            if not (self.fused_parse and "CsfContiguityError" in str(e)):
+                raise
+            committed = consolidate(
+                events, self.selectors, lo, hi, change_lo=change_lo,
+                marker_count_hint=marker_count_hint, reassemble=True,
+            )
+            n_changes, n_parse_errors, n_quarantined, part_df = self._apply_to_table(
+                committed, batch_id, self.table, self.key_col, scn_bounds=(lo, hi),
+                salt_chunks=salt, raw_chunks=False,
+            )
 
         if wm_fut is not None:
             watermark, n_open = wm_fut.result()
