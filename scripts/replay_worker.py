@@ -215,9 +215,16 @@ def main():
             warm_events = spark.read.schema(EVENT_SCHEMA).parquet(*_files[:k])
         else:  # non-partitioned input: fall back to the full set
             warm_events = events
-        warm = consolidate(warm_events, DEFAULT_SELECTORS, None, None)
+        # warm the SAME parse mode the measured replay will use (fused
+        # reassembly by default; LMKC_FUSED=0 flips both together)
+        fused = os.environ.get("LMKC_FUSED", "1") != "0"
+        warm = consolidate(
+            warm_events, DEFAULT_SELECTORS, None, None, reassemble=not fused
+        )
         warm_src = build_merge_source_typed(
-            parse_committed_typed(warm, PAGES_SCHEMA).filter(F.col("parse_error").isNull()),
+            parse_committed_typed(warm, PAGES_SCHEMA, raw_chunks=fused).filter(
+                F.col("parse_error").isNull()
+            ),
             PAGES_SCHEMA,
         )
         warm_src.write.format("noop").mode("overwrite").save()
